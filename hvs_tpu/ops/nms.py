@@ -1,0 +1,218 @@
+"""On-device non-maximum suppression with static shapes.
+
+Replaces the reference's Python-loop greedy NMS (reference:
+src/models/yolo_head.py:678-731) and CPU soft-NMS round-trip (reference:
+src/inference/postprocessing.py:609-652) with fixed-shape, jit-compatible
+kernels that never leave the TPU:
+
+  * :func:`nms_fixed` — exact greedy hard-NMS over the top-M candidates using a
+    precomputed M×M IoU matrix and a ``lax.fori_loop`` sweep (no data-dependent
+    shapes; suppressed slots are masked, outputs are padded to ``max_detections``).
+  * :func:`soft_nms_fixed` — Gaussian score-decay soft-NMS in fixed score order.
+  * :func:`matrix_nms` — fully parallel decay-based NMS (SOLOv2-style).
+
+Class-aware suppression uses the standard trick of offsetting boxes by
+``class_id * offset`` so boxes of different classes never overlap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .boxes import pairwise_iou
+
+
+class NMSResult(NamedTuple):
+    """Fixed-size NMS output; invalid slots have score -1 and class -1."""
+
+    boxes: jax.Array  # [K, 4] xyxy
+    scores: jax.Array  # [K]
+    classes: jax.Array  # [K] int32
+    valid: jax.Array  # [K] bool
+    num_valid: jax.Array  # [] int32
+
+
+def _class_offset_boxes(boxes: jax.Array, classes: jax.Array, offset: float = 4096.0) -> jax.Array:
+    return boxes + (classes.astype(boxes.dtype) * offset)[..., None]
+
+
+def _select_candidates(boxes, scores, classes, score_threshold, top_m):
+    """Threshold + top-M preselection; returns sorted-by-score candidates."""
+    masked = jnp.where(scores >= score_threshold, scores, -1.0)
+    m = min(top_m, scores.shape[0])
+    top_scores, idx = lax.top_k(masked, m)
+    return boxes[idx], top_scores, classes[idx], top_scores >= score_threshold
+
+
+def nms_fixed(
+    boxes: jax.Array,
+    scores: jax.Array,
+    classes: jax.Array,
+    *,
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.25,
+    max_detections: int = 100,
+    pre_nms_top_k: int = 512,
+    class_aware: bool = True,
+) -> NMSResult:
+    """Exact greedy NMS with static shapes, entirely on device.
+
+    Matches the reference's greedy algorithm (keep highest score, suppress
+    overlaps > ``iou_threshold``, repeat) over the top ``pre_nms_top_k``
+    candidates. O(M) loop iterations, each a vectorized row-mask update.
+
+    Args:
+        boxes: [N, 4] xyxy.
+        scores: [N] confidence (objectness × class prob).
+        classes: [N] int class ids.
+
+    Returns:
+        :class:`NMSResult` padded/truncated to ``max_detections``.
+    """
+    b, s, c, valid = _select_candidates(boxes, scores, classes, score_threshold, pre_nms_top_k)
+    m = s.shape[0]
+    iou_boxes = _class_offset_boxes(b, c) if class_aware else b
+    iou = pairwise_iou(iou_boxes, iou_boxes)
+    overlap = iou > iou_threshold
+
+    def body(i, keep):
+        # If slot i survives, suppress all lower-scored overlapping slots.
+        row = overlap[i] & (jnp.arange(m) > i)
+        return keep & ~(keep[i] & row)
+
+    keep = lax.fori_loop(0, m, body, valid)
+
+    kept_scores = jnp.where(keep, s, -1.0)
+    k = min(max_detections, m)
+    out_scores, out_idx = lax.top_k(kept_scores, k)
+    out_valid = out_scores >= score_threshold
+    pad = max_detections - k
+    result_boxes = jnp.pad(b[out_idx], ((0, pad), (0, 0)))
+    result_scores = jnp.pad(jnp.where(out_valid, out_scores, -1.0), (0, pad), constant_values=-1.0)
+    result_classes = jnp.pad(
+        jnp.where(out_valid, c[out_idx], -1), (0, pad), constant_values=-1
+    ).astype(jnp.int32)
+    result_valid = jnp.pad(out_valid, (0, pad))
+    return NMSResult(
+        boxes=result_boxes,
+        scores=result_scores,
+        classes=result_classes,
+        valid=result_valid,
+        num_valid=jnp.sum(result_valid.astype(jnp.int32)),
+    )
+
+
+def soft_nms_fixed(
+    boxes: jax.Array,
+    scores: jax.Array,
+    classes: jax.Array,
+    *,
+    sigma: float = 0.5,
+    score_threshold: float = 0.25,
+    final_threshold: float = 0.001,
+    max_detections: int = 100,
+    pre_nms_top_k: int = 512,
+    class_aware: bool = True,
+) -> NMSResult:
+    """Gaussian soft-NMS (reference: src/inference/postprocessing.py:609-652).
+
+    Scores of overlapping boxes decay by ``exp(-iou^2 / sigma)`` instead of hard
+    suppression. We process candidates in initial score order (single fixed pass —
+    the standard static-shape approximation of the re-sorting variant).
+    """
+    b, s, c, valid = _select_candidates(boxes, scores, classes, score_threshold, pre_nms_top_k)
+    m = s.shape[0]
+    iou_boxes = _class_offset_boxes(b, c) if class_aware else b
+    iou = pairwise_iou(iou_boxes, iou_boxes)
+    decay_matrix = jnp.exp(-(iou**2) / sigma)
+
+    def body(i, cur_scores):
+        row = jnp.where(jnp.arange(m) > i, decay_matrix[i], 1.0)
+        # Only decay if box i is itself still alive.
+        alive = cur_scores[i] > final_threshold
+        return jnp.where(alive, cur_scores * row, cur_scores)
+
+    decayed = lax.fori_loop(0, m, body, jnp.where(valid, s, -1.0))
+    kept = decayed > final_threshold
+
+    kept_scores = jnp.where(kept, decayed, -1.0)
+    k = min(max_detections, m)
+    out_scores, out_idx = lax.top_k(kept_scores, k)
+    out_valid = out_scores > final_threshold
+    pad = max_detections - k
+    return NMSResult(
+        boxes=jnp.pad(b[out_idx], ((0, pad), (0, 0))),
+        scores=jnp.pad(jnp.where(out_valid, out_scores, -1.0), (0, pad), constant_values=-1.0),
+        classes=jnp.pad(jnp.where(out_valid, c[out_idx], -1), (0, pad), constant_values=-1).astype(
+            jnp.int32
+        ),
+        valid=jnp.pad(out_valid, (0, pad)),
+        num_valid=jnp.sum(jnp.pad(out_valid, (0, pad)).astype(jnp.int32)),
+    )
+
+
+def matrix_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    classes: jax.Array,
+    *,
+    sigma: float = 0.5,
+    score_threshold: float = 0.25,
+    final_threshold: float = 0.05,
+    max_detections: int = 100,
+    pre_nms_top_k: int = 512,
+    class_aware: bool = True,
+) -> NMSResult:
+    """Fully parallel matrix NMS (reference: src/inference/postprocessing.py:654-714).
+
+    decay_j = min_i exp(-(iou_ij^2 - max_k iou_ik^2)/sigma) over higher-scored i.
+    No sequential loop at all — one masked reduce. Fastest variant on TPU.
+    """
+    b, s, c, valid = _select_candidates(boxes, scores, classes, score_threshold, pre_nms_top_k)
+    m = s.shape[0]
+    iou_boxes = _class_offset_boxes(b, c) if class_aware else b
+    iou = pairwise_iou(iou_boxes, iou_boxes)
+    # Upper triangle: row i suppresses column j only if i is scored higher (i < j).
+    upper = jnp.triu(jnp.ones((m, m), bool), k=1)
+    sup = jnp.where(upper, iou, 0.0)  # [M, M]: iou of j with each higher-scored i
+    max_iou_per_i = jnp.max(sup, axis=1)  # how much each i is itself suppressed
+    decay = jnp.exp(-(sup**2 - (max_iou_per_i**2)[:, None]) / sigma)
+    decay = jnp.where(upper, decay, jnp.inf)
+    decay = jnp.min(decay, axis=0)
+    decay = jnp.where(jnp.isfinite(decay), decay, 1.0)
+    decayed = jnp.where(valid, s * decay, -1.0)
+    kept = decayed > final_threshold
+
+    kept_scores = jnp.where(kept, decayed, -1.0)
+    k = min(max_detections, m)
+    out_scores, out_idx = lax.top_k(kept_scores, k)
+    out_valid = out_scores > final_threshold
+    pad = max_detections - k
+    return NMSResult(
+        boxes=jnp.pad(b[out_idx], ((0, pad), (0, 0))),
+        scores=jnp.pad(jnp.where(out_valid, out_scores, -1.0), (0, pad), constant_values=-1.0),
+        classes=jnp.pad(jnp.where(out_valid, c[out_idx], -1), (0, pad), constant_values=-1).astype(
+            jnp.int32
+        ),
+        valid=jnp.pad(out_valid, (0, pad)),
+        num_valid=jnp.sum(jnp.pad(out_valid, (0, pad)).astype(jnp.int32)),
+    )
+
+
+def batched_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    classes: jax.Array,
+    method: str = "hard",
+    **kwargs,
+) -> NMSResult:
+    """vmap over a leading batch axis. ``boxes`` [B, N, 4], etc."""
+    fns = {"hard": nms_fixed, "soft": soft_nms_fixed, "matrix": matrix_nms}
+    if method not in fns:
+        raise ValueError(f"unknown NMS method: {method!r}")
+    fn = lambda b, s, c: fns[method](b, s, c, **kwargs)
+    return jax.vmap(fn)(boxes, scores, classes)

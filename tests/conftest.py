@@ -1,0 +1,57 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX imports.
+
+Multi-chip TPU hardware is not available in CI; sharding/pjit paths are validated
+on virtual CPU devices exactly as the driver's ``dryrun_multichip`` does.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (import after env setup)
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# This environment pre-registers an experimental TPU plugin that overrides
+# JAX_PLATFORMS; force CPU explicitly so tests never contend for the real chip.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture()
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def create_test_image(height=64, width=64, channels=3, seed=0):
+    """Synthetic uint8 test image (parity with reference src/tests/__init__.py:18-56)."""
+    r = np.random.default_rng(seed)
+    return r.integers(0, 255, size=(height, width, channels), dtype=np.uint8)
+
+
+def create_test_batch(batch=2, height=64, width=64, channels=3, seed=0):
+    r = np.random.default_rng(seed)
+    return r.standard_normal((batch, height, width, channels)).astype(np.float32)
+
+
+def create_test_detections(n=5, image_size=64, seed=0):
+    r = np.random.default_rng(seed)
+    x1 = r.uniform(0, image_size * 0.6, n)
+    y1 = r.uniform(0, image_size * 0.6, n)
+    w = r.uniform(4, image_size * 0.4, n)
+    h = r.uniform(4, image_size * 0.4, n)
+    boxes = np.stack([x1, y1, x1 + w, y1 + h], axis=-1).astype(np.float32)
+    scores = r.uniform(0.3, 1.0, n).astype(np.float32)
+    classes = r.integers(0, 80, n).astype(np.int32)
+    return boxes, scores, classes
