@@ -1,0 +1,99 @@
+"""Headline benchmark: frames/sec/chip at 640x640 detection, end-to-end on device.
+
+Measures the full serving path — normalized image in HBM -> flagship model
+(ProductionHybridVision: bf16, constrained mHC matrices precomputed at load) ->
+on-device decode + class-aware NMS -> fixed-size boxes/scores/classes — on the
+real TPU chip, and prints ONE JSON line. Baseline: the reference's 35 FPS at
+640x640 on an RTX 3090 (reference README.md:184, PROJECT.md:968; BASELINE.md).
+
+Latency note: per-frame latency is measured pipelined (submit ahead, divide by
+frames) because this harness reaches the TPU through a tunnel whose completion
+polling adds ~25ms to any single blocking wait; pipelined timing reflects the
+true device cost per frame, which is what production serving achieves with a
+double-buffered request queue.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import functools
+
+    import jax.numpy as jnp
+
+    from hvs_tpu.models import ProductionHybridVision, compute_constraints
+    from hvs_tpu.models.yolo_head import postprocess_detections
+
+    model = ProductionHybridVision(sk_iters=20)
+    rng = jax.random.PRNGKey(0)
+    init_images = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    # jit the init: eager flax init dispatches thousands of tiny ops (minutes on
+    # this host); one compiled+persistently-cached graph takes seconds.
+    variables = jax.jit(functools.partial(model.init, task="detection"))(
+        rng, init_images
+    )
+    # Serving fast path: constrained matrices computed once at load.
+    variables = {
+        "params": variables["params"],
+        "constraints": compute_constraints(variables["params"], sk_iters=20),
+    }
+
+    @jax.jit
+    def serve(images):
+        out = model.apply(variables, images, task="detection")
+        det = postprocess_detections(
+            out["detection"], score_threshold=0.25, max_detections=100,
+            pre_nms_top_k=512,
+        )
+        return det.boxes, det.scores, det.classes
+
+    batch = 8
+    images = jax.random.uniform(rng, (batch, 640, 640, 3), jnp.float32)
+
+    # Warmup / compile.
+    r = serve(images)
+    jax.block_until_ready(r)
+
+    # Throughput at batch 8.
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = serve(images)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+
+    # Pipelined per-frame latency at batch 1 (see module docstring).
+    one = images[:1]
+    r = serve(one)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(60):
+        r = serve(one)
+    jax.block_until_ready(r)
+    frame_ms = (time.perf_counter() - t0) / 60 * 1e3
+
+    baseline_fps = 35.0  # RTX 3090 @ 640x640 (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "fps_per_chip_640_detect_e2e",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / baseline_fps, 2),
+                "batch1_frame_ms": round(frame_ms, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

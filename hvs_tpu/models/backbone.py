@@ -1,0 +1,185 @@
+"""Hybrid CNN backbone with channel-wise mHC, NHWC layout throughout.
+
+TPU-native redesign of the reference backbone
+(reference: src/models/vision_backbone.py:10-457). Design changes:
+
+  * NHWC everywhere: the channel axis is trailing, so the mHC layer operates on
+    it natively — the reference's permute/reshape dance
+    (src/models/vision_backbone.py:117-128) disappears entirely.
+  * GroupNorm instead of BatchNorm: no running statistics (purely functional
+    train state), deterministic inference, robust to small per-device batches
+    under data parallelism.
+  * Bottleneck residual blocks with the channel mHC applied at the bottleneck
+    width — keeps the backbone inside the documented 2-5M parameter budget
+    (reference: src/tests/test_models.py:316-324) which the reference's own
+    full-width-mHC-per-conv code cannot meet.
+  * Strided 3x3 convs fold downsampling into the first block of each stage.
+
+Stage layout matches the reference: 4 stages of [2, 3, 4, 2] blocks at
+64/128/256/512 channels; outputs ``scale_small`` (128ch, stride 8),
+``scale_medium`` (256ch, stride 16), ``scale_large`` (512ch, stride 32)
+(reference: src/models/vision_backbone.py:251-287,329-397).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ManifoldHyperConnection, SqueezeExcite, group_norm
+
+Dtype = Any
+
+
+class ConvMHCBlock(nn.Module):
+    """Bottleneck residual block with channel-wise mHC + SE attention.
+
+    1x1 reduce -> 3x3 (optionally strided) -> channel mHC at bottleneck width
+    -> 1x1 expand -> SE gate -> residual add. The mHC sees the feature map as
+    [B, H, W, C_mid] and acts on the trailing channel axis directly.
+    (reference behaviors: ConvMHCLayer src/models/vision_backbone.py:10-134 +
+    ResidualMHCLayer :137-196 fused into one TPU-friendly block.)
+    """
+
+    channels: int
+    stride: int = 1
+    bottleneck_ratio: float = 0.5
+    sk_iters: int = 20
+    use_mhc: bool = True
+    use_se: bool = True
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    monitor: bool = False
+    precomputed_constraints: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = x.astype(self.dtype)
+        in_ch = x.shape[-1]
+        mid = max(16, int(self.channels * self.bottleneck_ratio))
+
+        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="reduce")(x)
+        y = group_norm(mid, self.dtype)(y)
+        y = nn.silu(y)
+        y = nn.Conv(
+            mid, (3, 3), strides=(self.stride, self.stride), use_bias=False,
+            dtype=self.dtype, name="spatial",
+        )(y)
+        y = group_norm(mid, self.dtype)(y)
+        y = nn.silu(y)
+        if self.use_mhc:
+            y = ManifoldHyperConnection(
+                dim=mid,
+                expansion_rate=1,
+                mlp_ratio=1,
+                sk_iters=self.sk_iters,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                monitor=self.monitor,
+                precomputed_constraints=self.precomputed_constraints,
+                name="mhc",
+            )(y, deterministic)
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="expand")(y)
+        y = group_norm(self.channels, self.dtype)(y)
+        if self.use_se:
+            y = SqueezeExcite(self.channels, dtype=self.dtype, name="se")(y)
+
+        if self.stride != 1 or in_ch != self.channels:
+            shortcut = nn.Conv(
+                self.channels, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="shortcut",
+            )(x)
+            shortcut = group_norm(self.channels, self.dtype)(shortcut)
+        else:
+            shortcut = x
+        return nn.silu(y + shortcut)
+
+
+class HybridVisionBackbone(nn.Module):
+    """CNN backbone producing three detection scales (NHWC).
+
+    Input [B, H, W, 3] -> {"scale_small": [B, H/8, W/8, 128],
+                           "scale_medium": [B, H/16, W/16, 256],
+                           "scale_large": [B, H/32, W/32, 512]}
+    (channel/stride parity with reference src/models/vision_backbone.py:329-397).
+    """
+
+    base_channels: int = 32
+    stage_blocks: Sequence[int] = (2, 3, 4, 2)
+    stage_channels: Sequence[int] = (64, 128, 256, 512)
+    sk_iters: int = 20
+    use_mhc: bool = True
+    use_se: bool = True
+    dtype: Dtype = jnp.bfloat16
+    monitor: bool = False
+    precomputed_constraints: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> Dict[str, jax.Array]:
+        x = x.astype(self.dtype)
+        # Stem: two strided convs -> stride 4 (reference stem reaches /4 before stages).
+        x = nn.Conv(self.base_channels, (3, 3), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, name="stem1")(x)
+        x = group_norm(self.base_channels, self.dtype)(x)
+        x = nn.silu(x)
+        x = nn.Conv(self.stage_channels[0], (3, 3), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, name="stem2")(x)
+        x = group_norm(self.stage_channels[0], self.dtype)(x)
+        x = nn.silu(x)
+
+        outputs: Dict[str, jax.Array] = {}
+        scale_names = {1: "scale_small", 2: "scale_medium", 3: "scale_large"}
+        for stage_idx, (n_blocks, ch) in enumerate(
+            zip(self.stage_blocks, self.stage_channels)
+        ):
+            for block_idx in range(n_blocks):
+                stride = 2 if (block_idx == 0 and stage_idx > 0) else 1
+                x = ConvMHCBlock(
+                    channels=ch,
+                    stride=stride,
+                    sk_iters=self.sk_iters,
+                    use_mhc=self.use_mhc,
+                    use_se=self.use_se,
+                    dtype=self.dtype,
+                    monitor=self.monitor,
+                    precomputed_constraints=self.precomputed_constraints,
+                    name=f"stage{stage_idx + 1}_block{block_idx}",
+                )(x, deterministic)
+            if stage_idx in scale_names:
+                outputs[scale_names[stage_idx]] = x
+        return outputs
+
+    def get_output_channels(self) -> Dict[str, int]:
+        """Channel counts per scale (reference: vision_backbone.py:399-405)."""
+        return {
+            "scale_small": self.stage_channels[1],
+            "scale_medium": self.stage_channels[2],
+            "scale_large": self.stage_channels[3],
+        }
+
+    @staticmethod
+    def compute_flops(input_size: Tuple[int, int] = (416, 416)) -> int:
+        """Rough conv FLOPs estimate (reference: vision_backbone.py:415-457).
+
+        Computed analytically from the static architecture; detailed per-op cost
+        comes from ``jax.jit(...).lower(...).compile().cost_analysis()`` instead.
+        """
+        h, w = input_size
+        flops = 0
+        # stem
+        flops += 2 * (h // 2) * (w // 2) * 3 * 32 * 9
+        flops += 2 * (h // 4) * (w // 4) * 32 * 64 * 9
+        strides = [4, 8, 16, 32]
+        chans = [64, 128, 256, 512]
+        blocks = [2, 3, 4, 2]
+        for s, c, n in zip(strides, chans, blocks):
+            hw = (h // s) * (w // s)
+            mid = c // 2
+            per_block = hw * (c * mid + mid * mid * 9 + mid * c) * 2
+            flops += per_block * n
+        return flops

@@ -1,0 +1,270 @@
+"""Top-level HybridVisionSystem: CNN+ViT detector with mHC stabilization.
+
+TPU-native redesign of the reference's top model
+(reference: src/models/hybrid_vision.py:37-593). Composition (reference order,
+:222-402): backbone -> optional ViT enhancement of scale_large (50/50 blend)
+-> FPN -> optional RAG on the small scale -> YOLO head -> optional
+segmentation/depth heads -> global feature extraction.
+
+Everything is one pure function under jit; stability telemetry flows out through
+the ``stability`` sow collection (apply with ``mutable=['stability']``);
+detection postprocess (decode+NMS) stays on device via
+:func:`hvs_tpu.models.yolo_head.postprocess_detections`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .backbone import HybridVisionBackbone
+from .fpn import FeaturePyramidNetwork
+from .layers import ManifoldHyperConnection, group_norm
+from .rag import RAGVisionKnowledge
+from .vit import HybridVisionEncoder
+from .yolo_head import YOLODetectionHead, postprocess_detections
+
+Dtype = Any
+
+
+class SegmentationHead(nn.Module):
+    """Upsampling decoder from the small fused scale
+    (reference: src/models/hybrid_vision.py:131-146,327-341)."""
+
+    num_classes: int = 21
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feat: jax.Array) -> jax.Array:
+        x = feat.astype(self.dtype)
+        for ch in (128, 64):
+            x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
+            x = group_norm(ch, self.dtype)(x)
+            x = nn.silu(x)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(x)
+
+
+class DepthHead(nn.Module):
+    """Monocular depth decoder (reference: src/models/hybrid_vision.py:148-156,343-353)."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feat: jax.Array) -> jax.Array:
+        x = feat.astype(self.dtype)
+        for ch in (128, 64):
+            x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
+            x = group_norm(ch, self.dtype)(x)
+            x = nn.silu(x)
+        return jax.nn.softplus(nn.Conv(1, (1, 1), dtype=self.dtype)(x))
+
+
+class HybridVisionSystem(nn.Module):
+    """The flagship detector (reference: src/models/hybrid_vision.py:37-485).
+
+    Call with NHWC images in [0, 1]-normalized float; ``task`` selects which
+    heads run ('detection' | 'classification' | 'segmentation' | 'multi_task').
+    """
+
+    num_classes: int = 80
+    use_vit: bool = True
+    use_rag: bool = False
+    use_segmentation: bool = False
+    use_depth: bool = False
+    sk_iters: int = 20
+    base_channels: int = 32
+    stage_blocks: Sequence[int] = (2, 3, 4, 2)
+    stage_channels: Sequence[int] = (64, 128, 256, 512)
+    vit_dim: int = 256
+    vit_depth: int = 6
+    vit_heads: int = 8
+    fpn_channels: int = 256
+    head_channels: int = 256
+    feature_dim: int = 256
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+    monitor: bool = False
+    precomputed_constraints: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,
+        task: str = "detection",
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        outputs: Dict[str, Any] = {}
+
+        scales = HybridVisionBackbone(
+            base_channels=self.base_channels,
+            stage_blocks=self.stage_blocks,
+            stage_channels=self.stage_channels,
+            sk_iters=self.sk_iters,
+            dtype=self.dtype,
+            monitor=self.monitor,
+            precomputed_constraints=self.precomputed_constraints,
+            name="backbone",
+        )(images, deterministic)
+
+        if self.use_vit:
+            # ViT enhancement, 50/50 blend (reference: hybrid_vision.py:249-260).
+            enhanced = HybridVisionEncoder(
+                cnn_channels=self.stage_channels[-1],
+                dim=self.vit_dim,
+                depth=self.vit_depth,
+                num_heads=self.vit_heads,
+                sk_iters=self.sk_iters,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                monitor=self.monitor,
+                precomputed_constraints=self.precomputed_constraints,
+                name="vit_encoder",
+            )(scales["scale_large"], deterministic)
+            scales = dict(scales)
+            scales["scale_large"] = 0.5 * scales["scale_large"] + 0.5 * enhanced
+
+        fused = FeaturePyramidNetwork(
+            fpn_channels=self.fpn_channels,
+            sk_iters=self.sk_iters,
+            dtype=self.dtype,
+            monitor=self.monitor,
+            precomputed_constraints=self.precomputed_constraints,
+            name="fpn",
+        )(scales, deterministic)
+
+        if self.use_rag:
+            # Knowledge injection on the small scale (reference: hybrid_vision.py:266-295).
+            small = fused["fused_small"]
+            b, h, w, c = small.shape
+            tokens = small.reshape(b, h * w, c)
+            tokens = RAGVisionKnowledge(
+                channels=c, sk_iters=self.sk_iters, dtype=self.dtype,
+                precomputed_constraints=self.precomputed_constraints, name="rag",
+            )(tokens, deterministic)
+            fused = dict(fused)
+            fused["fused_small"] = 0.5 * small + 0.5 * tokens.reshape(b, h, w, c)
+
+        if task in ("detection", "multi_task"):
+            det = YOLODetectionHead(
+                num_classes=self.num_classes,
+                head_channels=self.head_channels,
+                sk_iters=self.sk_iters,
+                dtype=self.dtype,
+                monitor=self.monitor,
+                precomputed_constraints=self.precomputed_constraints,
+                name="detection_head",
+            )(fused, deterministic)
+            outputs["detection"] = det
+
+        if task in ("segmentation", "multi_task") and self.use_segmentation:
+            outputs["segmentation"] = SegmentationHead(
+                num_classes=self.num_classes, dtype=self.dtype, name="segmentation_head",
+            )(fused["fused_small"])
+
+        if task in ("depth", "multi_task") and self.use_depth:
+            outputs["depth"] = DepthHead(dtype=self.dtype, name="depth_head")(
+                fused["fused_small"]
+            )
+
+        # Global feature vector (reference: hybrid_vision.py:369-402): per-scale
+        # GAP -> concat -> mHC -> MLP -> feature_dim.
+        pooled = jnp.concatenate(
+            [jnp.mean(fused[k].astype(jnp.float32), axis=(1, 2))
+             for k in ("fused_small", "fused_medium", "fused_large")],
+            axis=-1,
+        ).astype(self.dtype)
+        # Project the 1792-dim concat down before the mHC so the feature head
+        # stays inside the 10-30M model budget (an mHC at 1792 alone is ~16M).
+        feats = nn.Dense(self.feature_dim, dtype=self.dtype, name="feature_proj")(pooled)
+        feats = ManifoldHyperConnection(
+            dim=self.feature_dim,
+            expansion_rate=1,
+            mlp_ratio=2,
+            sk_iters=self.sk_iters,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            monitor=self.monitor,
+            precomputed_constraints=self.precomputed_constraints,
+            name="mhc_features",
+        )(feats, deterministic)
+        outputs["features"] = feats
+
+        if task in ("classification", "multi_task"):
+            outputs["classification"] = nn.Dense(
+                self.num_classes, dtype=self.dtype, name="classifier",
+            )(feats)
+
+        outputs["fused_features"] = fused
+        return outputs
+
+
+class LightweightHybridVision(HybridVisionSystem):
+    """Edge variant: no ViT/RAG, slimmer stages
+    (reference: src/models/hybrid_vision.py:488-540)."""
+
+    use_vit: bool = False
+    use_rag: bool = False
+    stage_blocks: Sequence[int] = (1, 2, 2, 1)
+    stage_channels: Sequence[int] = (48, 96, 192, 384)
+    head_channels: int = 128
+    fpn_channels: int = 128
+
+
+class ProductionHybridVision(HybridVisionSystem):
+    """Serving variant: telemetry off, dropout zero, constrained matrices
+    precomputed at load time — shapes/params identical to the flagship so
+    training checkpoints load directly
+    (reference: src/models/hybrid_vision.py:543-593)."""
+
+    monitor: bool = False
+    dropout_rate: float = 0.0
+    precomputed_constraints: bool = True
+
+
+def detect(
+    model: HybridVisionSystem,
+    variables: Dict[str, Any],
+    images: jax.Array,
+    score_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+    max_detections: int = 100,
+    nms_method: str = "hard",
+):
+    """Forward + on-device postprocess (reference ``detect()``:
+    src/models/hybrid_vision.py:404-439). jit-compatible as a whole."""
+    out = model.apply(variables, images, task="detection")
+    det = postprocess_detections(
+        out["detection"],
+        score_threshold=score_threshold,
+        iou_threshold=iou_threshold,
+        max_detections=max_detections,
+        nms_method=nms_method,
+    )
+    return det, out
+
+
+def collect_stability_metrics(stability_collection: Dict[str, Any]) -> Dict[str, Any]:
+    """Aggregate per-layer sown metrics into the reference's summary dict
+    (reference: src/models/hybrid_vision.py:441-457 walks modules; here we walk
+    the functional ``stability`` collection returned by ``apply(mutable=...)``)."""
+    flat = jax.tree_util.tree_leaves_with_path(stability_collection)
+    per_layer: Dict[str, Dict[str, Any]] = {}
+    for path, leaf in flat:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        # Path shape: (<module scopes...>, 'metrics', <metric name>).
+        metric = keys[-1] if keys else "value"
+        layer = "/".join(keys[:-2]) or "root"
+        per_layer.setdefault(layer, {})[metric] = leaf
+    summary: Dict[str, Any] = {"num_layers": len(per_layer)}
+    for metric in ("signal_ratio", "ds_error", "max_eigenvalue"):
+        vals = [
+            float(v[metric]) for v in per_layer.values() if metric in v
+        ]
+        if vals:
+            summary[f"{metric}_mean"] = sum(vals) / len(vals)
+            summary[f"{metric}_max"] = max(vals)
+    summary["per_layer"] = per_layer
+    return summary

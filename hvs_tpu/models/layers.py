@@ -1,0 +1,323 @@
+"""Core model layers: Manifold-Constrained Hyper-Connections and friends.
+
+TPU-native redesign of the reference's manifold layers
+(reference: src/models/manifold_layers.py:104-455). Key differences from the
+PyTorch original, all deliberate:
+
+  * The Sinkhorn projection is the log-domain ``lax.fori_loop`` from
+    :mod:`hvs_tpu.ops.sinkhorn` — it fuses into the surrounding jitted forward
+    pass instead of running a 20-iteration Python loop per layer per step
+    (reference hot spot: src/models/manifold_layers.py:64-77).
+  * Stability telemetry (eigenvalue spectrum, signal ratio, DS error) is
+    returned functionally through flax's ``sow`` mechanism into a ``stability``
+    collection — no mutable buffers under jit
+    (reference: src/models/manifold_layers.py:282-316 mutates registered buffers).
+  * Precision policy: parameters live in fp32, activations compute in bf16,
+    and the constraint math (Sinkhorn, eigvalsh) always runs fp32
+    (reference: autocast block src/models/manifold_layers.py:247-248).
+  * ``expansion_rate`` and ``mlp_ratio`` are decoupled so the layer can be
+    budgeted to the documented parameter counts (backbone 2-5M, model 10-30M,
+    reference: src/tests/test_models.py:316-324,544-562 — budgets the reference
+    implementation itself cannot meet).
+
+Parameter naming: the raw constrained matrices are ``H_pre_raw``/``H_post_raw``/
+``H_res_raw`` inside modules named ``mhc*`` so the trainer's differential
+gradient clipping can select them by path (reference selects by
+``'mhc' in name or 'H_' in name``, src/training/mhc_trainer.py:342-383).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.sinkhorn import sinkhorn_log, doubly_stochastic_error
+
+Dtype = Any
+
+# Xavier-uniform with small gain, mirroring the reference's init
+# (src/models/manifold_layers.py:193-197: xavier_uniform gain=0.1).
+def _h_init(gain: float = 0.1):
+    return nn.initializers.variance_scaling(gain, "fan_avg", "uniform")
+
+
+def group_norm(channels: int, dtype) -> nn.GroupNorm:
+    """GroupNorm with the largest group count <= 8 that divides ``channels``."""
+    groups = 8
+    while channels % groups != 0:
+        groups //= 2
+    return nn.GroupNorm(num_groups=groups, dtype=dtype, epsilon=1e-5)
+
+
+class RMSNorm(nn.Module):
+    """Root-mean-square layer norm (reference: src/models/manifold_layers.py:437-455)."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.epsilon) * scale
+        return y.astype(self.dtype)
+
+
+class ManifoldHyperConnection(nn.Module):
+    """mHC layer: constrained-residual MLP block.
+
+    Math (reference: src/models/manifold_layers.py:104-280):
+        H_pre  = sigmoid(H_pre_raw)        in [0, 1],  shape [D, nD]
+        H_post = 2 * sigmoid(H_post_raw)   in [0, 2],  shape [nD, D]
+        H_res  = Sinkhorn(H_res_raw)       doubly stochastic, shape [D, D]
+        out = dropout(norm( x @ H_res + MLP(norm(x) @ H_pre) @ H_post ))
+
+    H_res doubly stochastic => spectral radius <= 1 => the residual path is
+    non-expansive, which is the stability guarantee of the architecture.
+
+    Attributes:
+        dim: feature dimension D (trailing axis).
+        expansion_rate: n in the [D, nD] expansion.
+        mlp_ratio: hidden multiplier of the inner MLP (reference hard-codes 2).
+        sk_iters: Sinkhorn iterations (reference default 20).
+        monitor: if True, sow stability metrics into the ``stability`` collection
+            (apply with ``mutable=['stability']`` to retrieve). ``monitor_eigs``
+            additionally computes the eigenvalue spectrum (costly; training only).
+    """
+
+    dim: int
+    expansion_rate: int = 2
+    mlp_ratio: int = 2
+    hidden_dim: Optional[int] = None
+    sk_iters: int = 20
+    tau: float = 1.0
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+    monitor: bool = False
+    monitor_eigs: bool = False
+    precomputed_constraints: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        d = self.dim
+        hidden = self.hidden_dim or d * self.expansion_rate
+        h_pre_raw = self.param("H_pre_raw", _h_init(), (d, hidden), jnp.float32)
+        h_post_raw = self.param("H_post_raw", _h_init(), (hidden, d), jnp.float32)
+        h_res_raw = self.param("H_res_raw", _h_init(), (d, d), jnp.float32)
+
+        if self.precomputed_constraints:
+            # Serving fast path: the constrained matrices depend only on the
+            # weights, so they are computed ONCE at model load (see
+            # hvs_tpu.models.constraints.compute_constraints) and read from the
+            # 'constraints' collection — the ~20 sequential Sinkhorn iterations
+            # per layer vanish from the per-request critical path.
+            h_pre_v = self.variable(
+                "constraints", "h_pre", lambda: jax.nn.sigmoid(h_pre_raw)
+            )
+            h_post_v = self.variable(
+                "constraints", "h_post", lambda: 2.0 * jax.nn.sigmoid(h_post_raw)
+            )
+            h_res_v = self.variable(
+                "constraints",
+                "h_res",
+                lambda: sinkhorn_log(h_res_raw, n_iters=self.sk_iters, tau=self.tau),
+            )
+            h_pre = h_pre_v.value.astype(self.dtype)
+            h_post = h_post_v.value.astype(self.dtype)
+            h_res32 = h_res_v.value
+            h_res = h_res32.astype(self.dtype)
+        else:
+            # Constrained matrices (fp32 math, cast to compute dtype for the matmuls).
+            h_pre = jax.nn.sigmoid(h_pre_raw).astype(self.dtype)
+            h_post = (2.0 * jax.nn.sigmoid(h_post_raw)).astype(self.dtype)
+            h_res32 = sinkhorn_log(h_res_raw, n_iters=self.sk_iters, tau=self.tau)
+            h_res = h_res32.astype(self.dtype)
+
+        x_in = x.astype(self.dtype)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm_pre")(x_in)
+        y = y @ h_pre
+        # MLP in expanded space (reference: hidden -> 2*hidden -> hidden, GELU).
+        mlp_hidden = hidden * self.mlp_ratio
+        y = nn.Dense(mlp_hidden, dtype=self.dtype, name="mlp_in")(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_out")(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = y @ h_post
+
+        out = x_in @ h_res + y
+        out = nn.LayerNorm(dtype=self.dtype, name="norm_post")(out)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+
+        if self.monitor:
+            # Functional telemetry (replaces mutable buffers,
+            # reference: src/models/manifold_layers.py:282-316).
+            in_norm = jnp.mean(jnp.linalg.norm(x_in.astype(jnp.float32), axis=-1))
+            out_norm = jnp.mean(jnp.linalg.norm(out.astype(jnp.float32), axis=-1))
+            metrics = {
+                "signal_ratio": out_norm / (in_norm + 1e-8),
+                "ds_error": doubly_stochastic_error(h_res32),
+                "row_sum_error": jnp.max(jnp.abs(jnp.sum(h_res32, axis=-1) - 1.0)),
+                "col_sum_error": jnp.max(jnp.abs(jnp.sum(h_res32, axis=-2) - 1.0)),
+            }
+            if self.monitor_eigs:
+                h_sym = 0.5 * (h_res32 + h_res32.T)
+                eigs = jnp.linalg.eigvalsh(h_sym)
+                metrics["max_eigenvalue"] = eigs[-1]
+                metrics["min_eigenvalue"] = eigs[0]
+            # Overwrite (not append) so repeated applies keep one entry per layer.
+            self.sow("stability", "metrics", metrics, reduce_fn=lambda prev, cur: cur)
+
+        return out
+
+
+class SqueezeExcite(nn.Module):
+    """SE-style channel attention (reference: src/models/vision_backbone.py:75-85)."""
+
+    channels: int
+    reduction: int = 4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, H, W, C]
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        g = nn.Dense(self.channels // self.reduction, dtype=self.dtype)(pooled.astype(self.dtype))
+        g = nn.silu(g)
+        g = nn.Dense(self.channels, dtype=self.dtype)(g)
+        g = jax.nn.sigmoid(g)
+        return x * g
+
+
+class MultiHeadManifoldAttention(nn.Module):
+    """MHA whose Q/K/V/out projections are mHC layers
+    (reference: src/models/manifold_layers.py:349-434, expansion_rate=2).
+
+    Attention math runs in bf16 with fp32 softmax. Provided for API parity;
+    the default ViT blocks use :class:`MHCTransformerBlock` (dense QKV + mHC FFN)
+    which is cheaper and maps better onto the MXU.
+    """
+
+    dim: int
+    num_heads: int = 8
+    expansion_rate: int = 2
+    mlp_ratio: int = 1
+    sk_iters: int = 20
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+    precomputed_constraints: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        assert self.dim % self.num_heads == 0
+        head_dim = self.dim // self.num_heads
+        mhc = lambda name: ManifoldHyperConnection(
+            dim=self.dim,
+            expansion_rate=self.expansion_rate,
+            mlp_ratio=self.mlp_ratio,
+            sk_iters=self.sk_iters,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            precomputed_constraints=self.precomputed_constraints,
+            name=name,
+        )
+        q = mhc("mhc_q")(x, deterministic)
+        k = mhc("mhc_k")(x, deterministic)
+        v = mhc("mhc_v")(x, deterministic)
+
+        b, t, _ = q.shape
+        split = lambda a: a.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        logits = logits / jnp.sqrt(jnp.float32(head_dim))
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        return mhc("mhc_out")(out, deterministic)
+
+
+class DenseAttention(nn.Module):
+    """Standard multi-head self-attention (dense QKV, bf16 matmuls, fp32 softmax)."""
+
+    dim: int
+    num_heads: int = 8
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        head_dim = self.dim // self.num_heads
+        b, t, _ = x.shape
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, t, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        logits = logits / jnp.sqrt(jnp.float32(head_dim))
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class MHCTransformerBlock(nn.Module):
+    """Pre-norm transformer block with an mHC-stabilized residual
+    (reference: src/models/vit_encoder_decoder.py:111-210).
+
+    x = x + DenseAttention(norm(x)); then the FFN role is played by a full mHC
+    layer (which carries its own doubly-stochastic residual, norms, dropout).
+    """
+
+    dim: int
+    num_heads: int = 8
+    expansion_rate: int = 1
+    mlp_ratio: int = 2
+    sk_iters: int = 20
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.bfloat16
+    monitor: bool = False
+    use_manifold_attention: bool = False
+    precomputed_constraints: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = x.astype(self.dtype)
+        if self.use_manifold_attention:
+            attn = MultiHeadManifoldAttention(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                sk_iters=self.sk_iters,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                precomputed_constraints=self.precomputed_constraints,
+                name="attn",
+            )(nn.LayerNorm(dtype=self.dtype)(x), deterministic)
+        else:
+            attn = DenseAttention(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                name="attn",
+            )(nn.LayerNorm(dtype=self.dtype)(x), deterministic)
+        x = x + attn
+        return ManifoldHyperConnection(
+            dim=self.dim,
+            expansion_rate=self.expansion_rate,
+            mlp_ratio=self.mlp_ratio,
+            sk_iters=self.sk_iters,
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            monitor=self.monitor,
+            precomputed_constraints=self.precomputed_constraints,
+            name="mhc_ffn",
+        )(x, deterministic)

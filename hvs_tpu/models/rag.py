@@ -1,0 +1,228 @@
+"""Retrieval-augmented vision knowledge module — fully batched, no Python loops.
+
+TPU-native redesign of the reference RAG stack
+(reference: src/models/rag_module.py:44-620). The reference retrieves knowledge
+with per-batch-item Python loops (:366-430); here retrieval is one batched
+matmul + ``lax.top_k`` against a precomputed knowledge-embedding matrix, and the
+knowledge is injected by cross-attention — all inside the jitted forward pass.
+
+Components:
+  * :func:`build_knowledge_base` — COCO-class fact texts with deterministic
+    hash-seeded pseudo-embeddings (reference: rag_module.py:44-196).
+  * :class:`RAGVisionKnowledge` — query projection, top-k retrieval, knowledge
+    cross-attention, mHC fusion, residual+norm (reference: :261-471).
+  * :class:`KnowledgeAwareDetection` — re-scores detections from ROI-pooled
+    region features plus retrieved knowledge (reference: :474-620).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..constants import COCO_CLASSES
+from .layers import ManifoldHyperConnection
+
+Dtype = Any
+
+
+def _pseudo_embedding(text: str, dim: int) -> np.ndarray:
+    """Deterministic unit-norm pseudo-embedding from a SHA-256-seeded RNG
+    (reference: src/models/rag_module.py:174-196 uses hash-seeded randn)."""
+    seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8], "little") % (2**32)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / (np.linalg.norm(v) + 1e-8)
+
+
+def build_knowledge_base(dim: int = 128) -> Tuple[List[str], np.ndarray]:
+    """Facts about the 80 COCO classes + embedding matrix [K, dim]
+    (reference: src/models/rag_module.py:44-148 seeds ~80 class facts)."""
+    facts: List[str] = []
+    for name in COCO_CLASSES:
+        facts.append(f"A {name} is a common object a humanoid robot may encounter.")
+    # A few cross-class navigation/safety facts like the reference's seed set.
+    facts += [
+        "People move unpredictably; keep a safe following distance.",
+        "Vehicles such as cars, buses and trucks are fast-moving obstacles.",
+        "Furniture like chairs, couches and tables are static obstacles.",
+        "Small handheld items can be grasped by the manipulator.",
+        "Animals may react to robot motion; slow down near them.",
+    ]
+    emb = np.stack([_pseudo_embedding(t, dim) for t in facts])
+    return facts, emb
+
+
+class RAGVisionKnowledge(nn.Module):
+    """Inject retrieved knowledge into visual tokens.
+
+    Pipeline (reference: src/models/rag_module.py:261-471, de-looped):
+        query  = mean-pool(tokens) @ W_q                       [B, Kd]
+        sims   = query @ KB^T   (cosine)                        [B, K]
+        top-k  -> gathered knowledge vectors                    [B, k, Kd]
+        tokens cross-attend into knowledge                      [B, T, C]
+        fused  = mHC(concat-proj(tokens, attended)) + residual, then norm
+    """
+
+    channels: int = 256
+    knowledge_dim: int = 128
+    top_k: int = 5
+    num_heads: int = 4
+    sk_iters: int = 20
+    dtype: Dtype = jnp.bfloat16
+    precomputed_constraints: bool = False
+
+    def setup(self):
+        _, emb = build_knowledge_base(self.knowledge_dim)
+        self._kb = jnp.asarray(emb)  # [K, Kd] static constant baked into the jit
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, t, c = tokens.shape
+        x = tokens.astype(self.dtype)
+
+        # Batched retrieval.
+        pooled = jnp.mean(x.astype(jnp.float32), axis=1)  # [B, C]
+        query = nn.Dense(self.knowledge_dim, name="query_proj")(pooled)
+        query = query / (jnp.linalg.norm(query, axis=-1, keepdims=True) + 1e-8)
+        sims = query @ self._kb.T  # [B, K]
+        _, idx = jax.lax.top_k(sims, self.top_k)
+        knowledge = self._kb[idx]  # [B, k, Kd]
+        know = nn.Dense(c, dtype=self.dtype, name="knowledge_proj")(
+            knowledge.astype(self.dtype)
+        )  # [B, k, C]
+
+        # Cross-attention: tokens query the retrieved facts.
+        head_dim = c // self.num_heads
+        q = nn.Dense(c, dtype=self.dtype, name="xq")(x)
+        k_ = nn.Dense(c, dtype=self.dtype, name="xk")(know)
+        v = nn.Dense(c, dtype=self.dtype, name="xv")(know)
+        split = lambda a, n: a.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", split(q, t), split(k_, self.top_k)
+        ).astype(jnp.float32) / jnp.sqrt(jnp.float32(head_dim))
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        attended = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v, self.top_k))
+        attended = attended.transpose(0, 2, 1, 3).reshape(b, t, c)
+
+        fused = nn.Dense(c, dtype=self.dtype, name="concat_proj")(
+            jnp.concatenate([x, attended], axis=-1)
+        )
+        fused = ManifoldHyperConnection(
+            dim=c, expansion_rate=1, mlp_ratio=1, sk_iters=self.sk_iters,
+            dtype=self.dtype, precomputed_constraints=self.precomputed_constraints,
+            name="mhc_fuse",
+        )(fused, deterministic)
+        out = x + fused
+        return nn.LayerNorm(dtype=self.dtype, name="out_norm")(out)
+
+
+def roi_pool_bilinear(
+    feature_map: jax.Array, boxes: jax.Array, samples: int = 4
+) -> jax.Array:
+    """Lightweight ROI-align: bilinear-sample an SxS grid inside each box and
+    average (reference uses torchvision-style ROI pooling, rag_module.py:474-620).
+
+    Args:
+        feature_map: [B, H, W, C].
+        boxes: [B, K, 4] normalized xyxy.
+    Returns: [B, K, C] region features.
+    """
+    bsz, h, w, c = feature_map.shape
+    k = boxes.shape[1]
+    # Sample grid per box in normalized coords.
+    frac = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples  # [S]
+    x1, y1, x2, y2 = [boxes[..., i] for i in range(4)]
+    xs = x1[..., None] + (x2 - x1)[..., None] * frac  # [B, K, S]
+    ys = y1[..., None] + (y2 - y1)[..., None] * frac
+    # To pixel coords.
+    px = jnp.clip(xs * w - 0.5, 0.0, w - 1.0)
+    py = jnp.clip(ys * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    x1i = jnp.minimum(x0 + 1, w - 1)
+    y1i = jnp.minimum(y0 + 1, h - 1)
+    fx = px - x0.astype(jnp.float32)
+    fy = py - y0.astype(jnp.float32)
+
+    def gather(b_feat, yi, xi):
+        # b_feat: [H, W, C]; yi, xi: [K, S] -> [K, S, C]
+        return b_feat[yi, xi]
+
+    vg = jax.vmap(gather)
+    fm = feature_map.astype(jnp.float32)
+    # Corners: [B, K, Sy, Sx, C] via broadcasting of y rows x x cols.
+    def corner(yi, xi):
+        # yi: [B, K, S] rows; xi: [B, K, S] cols -> [B, K, S, S, C]
+        yy = jnp.broadcast_to(yi[..., :, None], yi.shape + (samples,))
+        xx = jnp.broadcast_to(xi[..., None, :], xi.shape + (samples,))
+        flat = yy * w + xx  # [B, K, S, S]
+        fm_flat = fm.reshape(bsz, h * w, c)
+        return jax.vmap(lambda f, i: f[i])(fm_flat, flat.reshape(bsz, -1)).reshape(
+            bsz, k, samples, samples, c
+        )
+
+    c00 = corner(y0, x0)
+    c01 = corner(y0, x1i)
+    c10 = corner(y1i, x0)
+    c11 = corner(y1i, x1i)
+    wy = fy[..., :, None, None]
+    wx = fx[..., None, :, None]
+    top = c00 * (1 - wx) + c01 * wx
+    bot = c10 * (1 - wx) + c11 * wx
+    sampled = top * (1 - wy) + bot * wy  # [B, K, S, S, C]
+    return jnp.mean(sampled, axis=(2, 3))
+
+
+class KnowledgeAwareDetection(nn.Module):
+    """Re-score fixed-size detections with region features + knowledge
+    (reference: src/models/rag_module.py:474-620).
+
+    Takes the small-scale fused map and the NMS output boxes; ROI-pools region
+    features, retrieves knowledge for each region, and produces refined class
+    logits blended with the original scores.
+    """
+
+    num_classes: int = 80
+    knowledge_dim: int = 128
+    top_k: int = 3
+    blend: float = 0.5
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        _, emb = build_knowledge_base(self.knowledge_dim)
+        self._kb = jnp.asarray(emb)
+
+    @nn.compact
+    def __call__(
+        self, feature_map: jax.Array, boxes: jax.Array, scores: jax.Array,
+        classes: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        region = roi_pool_bilinear(feature_map, boxes)  # [B, K, C]
+        query = nn.Dense(self.knowledge_dim, name="region_query")(region)
+        query = query / (jnp.linalg.norm(query, axis=-1, keepdims=True) + 1e-8)
+        sims = jnp.einsum("bkd,nd->bkn", query, self._kb)
+        _, idx = jax.lax.top_k(sims, self.top_k)
+        knowledge = jnp.mean(self._kb[idx], axis=2)  # [B, K, Kd]
+
+        enhanced = jnp.concatenate(
+            [region.astype(self.dtype), knowledge.astype(self.dtype)], axis=-1
+        )
+        h = nn.Dense(256, dtype=self.dtype, name="cls_hidden")(enhanced)
+        h = nn.gelu(h)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cls_out")(h)
+        know_probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(jnp.maximum(classes, 0), self.num_classes)
+        orig = scores[..., None] * onehot
+        refined = (1 - self.blend) * orig + self.blend * know_probs * scores[..., None]
+        new_scores = jnp.max(refined, axis=-1)
+        new_classes = jnp.where(
+            classes >= 0, jnp.argmax(refined, axis=-1).astype(jnp.int32), classes
+        )
+        return {"scores": jnp.where(classes >= 0, new_scores, scores),
+                "classes": new_classes, "region_features": region}

@@ -1,0 +1,365 @@
+"""Model-stack tests (behavioral spec: reference src/tests/test_models.py —
+constraint ranges, shape preservation, NaN-freedom, gradient sanity, dtype
+policy, multi-scale shapes, parameter budgets, serialization round-trip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import serialization
+
+from hvs_tpu.models import (
+    HybridVisionBackbone,
+    HybridVisionSystem,
+    LightweightHybridVision,
+    ManifoldHyperConnection,
+    MHCTransformerBlock,
+    MultiHeadManifoldAttention,
+    RMSNorm,
+    VisionTransformerDecoder,
+    FeaturePyramidNetwork,
+    CrossScaleAttention,
+    AdaptiveFeatureFusion,
+    MultiScaleFeatureFusion,
+    YOLODetectionHead,
+    decode_predictions,
+    make_anchor_grid,
+    postprocess_detections,
+    detect,
+    collect_stability_metrics,
+)
+from hvs_tpu.ops import doubly_stochastic_error
+
+
+# --------------------------------------------------------------------------
+# mHC layer (reference test_models.py:145-204)
+# --------------------------------------------------------------------------
+
+
+class TestManifoldHyperConnection:
+    def _layer(self, **kw):
+        defaults = dict(dim=16, sk_iters=10, dropout_rate=0.0)
+        defaults.update(kw)
+        return ManifoldHyperConnection(**defaults)
+
+    def test_constraint_ranges(self, key):
+        layer = self._layer()
+        x = jnp.ones((2, 16))
+        v = layer.init(key, x)
+        p = v["params"]
+        h_pre = jax.nn.sigmoid(p["H_pre_raw"])
+        h_post = 2 * jax.nn.sigmoid(p["H_post_raw"])
+        assert float(h_pre.min()) >= 0 and float(h_pre.max()) <= 1
+        assert float(h_post.min()) >= 0 and float(h_post.max()) <= 2
+        from hvs_tpu.ops import sinkhorn_log
+
+        h_res = sinkhorn_log(p["H_res_raw"], 20)
+        assert float(doubly_stochastic_error(h_res)) < 1e-3
+
+    def test_shape_preservation_and_finite(self, key):
+        layer = self._layer()
+        for shape in [(2, 16), (2, 7, 16), (2, 4, 4, 16)]:
+            x = jax.random.normal(key, shape)
+            v = layer.init(key, x)
+            y = layer.apply(v, x)
+            assert y.shape == shape
+            assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
+
+    def test_gradients_sane(self, key):
+        layer = self._layer()
+        x = jax.random.normal(key, (4, 16))
+        v = layer.init(key, x)
+
+        def loss(params):
+            return jnp.mean(layer.apply({"params": params}, x).astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        norms = [float(jnp.linalg.norm(t)) for t in jax.tree_util.tree_leaves(g)]
+        total = float(np.sqrt(sum(n**2 for n in norms)))
+        assert 0 < total < 100, total  # reference asserts 0 < ||g|| < 100
+
+    def test_bf16_output_dtype(self, key):
+        layer = self._layer(dtype=jnp.bfloat16)
+        x = jax.random.normal(key, (2, 16))
+        v = layer.init(key, x)
+        assert layer.apply(v, x).dtype == jnp.bfloat16
+        # params stay fp32
+        assert v["params"]["H_res_raw"].dtype == jnp.float32
+
+    def test_monitor_collection(self, key):
+        layer = self._layer(monitor=True, monitor_eigs=True)
+        x = jax.random.normal(key, (2, 16))
+        v = layer.init(key, x)
+        _, coll = layer.apply(v, x, mutable=["stability"])
+        metrics = coll["stability"]["metrics"]
+        assert float(metrics["max_eigenvalue"]) <= 1.0 + 1e-3
+        assert float(metrics["ds_error"]) < 1e-3
+        assert float(metrics["signal_ratio"]) > 0
+
+    def test_non_expansive_residual(self, key):
+        """Doubly stochastic residual cannot amplify: ||x @ H_res|| <= ||x||_1-ish.
+        Check spectral norm of H_res <= 1 + tol."""
+        layer = self._layer()
+        v = layer.init(key, jnp.ones((2, 16)))
+        from hvs_tpu.ops import sinkhorn_log
+
+        h_res = sinkhorn_log(v["params"]["H_res_raw"], 30)
+        s = np.linalg.svd(np.asarray(h_res, np.float64), compute_uv=False)
+        assert s[0] <= 1.0 + 1e-3
+
+
+def test_rmsnorm(key):
+    n = RMSNorm()
+    x = jax.random.normal(key, (2, 8)) * 10
+    v = n.init(key, x)
+    y = np.asarray(n.apply(v, x), np.float32)
+    rms = np.sqrt(np.mean(y**2, axis=-1))
+    np.testing.assert_allclose(rms, 1.0, atol=0.05)
+
+
+def test_manifold_attention(key):
+    attn = MultiHeadManifoldAttention(dim=16, num_heads=2, sk_iters=5, dropout_rate=0.0)
+    x = jax.random.normal(key, (2, 6, 16))
+    v = attn.init(key, x)
+    y = attn.apply(v, x)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
+
+
+def test_transformer_block(key):
+    blk = MHCTransformerBlock(dim=16, num_heads=2, sk_iters=5, dropout_rate=0.0)
+    x = jax.random.normal(key, (2, 6, 16))
+    v = blk.init(key, x)
+    assert blk.apply(v, x).shape == x.shape
+
+
+def test_vit_decoder(key):
+    dec = VisionTransformerDecoder(dim=16, depth=1, num_heads=2, num_queries=4,
+                                   dropout_rate=0.0)
+    mem = jax.random.normal(key, (2, 9, 16))
+    v = dec.init(key, mem)
+    y = dec.apply(v, mem)
+    assert y.shape == (2, 4, 16)
+
+
+# --------------------------------------------------------------------------
+# Backbone (reference test_models.py:252-324)
+# --------------------------------------------------------------------------
+
+
+TINY_BB = dict(base_channels=8, stage_channels=(16, 24, 32, 40), stage_blocks=(1, 1, 1, 1),
+               sk_iters=5)
+
+
+def test_backbone_multiscale_shapes(key):
+    bb = HybridVisionBackbone(**TINY_BB)
+    x = jnp.zeros((2, 64, 64, 3))
+    v = bb.init(key, x)
+    out = bb.apply(v, x)
+    assert out["scale_small"].shape == (2, 8, 8, 24)
+    assert out["scale_medium"].shape == (2, 4, 4, 32)
+    assert out["scale_large"].shape == (2, 2, 2, 40)
+
+
+@pytest.mark.slow
+def test_backbone_param_budget(key):
+    """Reference asserts 2-5M params for the full-size backbone
+    (src/tests/test_models.py:316-324)."""
+    bb = HybridVisionBackbone(sk_iters=5)
+    v = bb.init(key, jnp.zeros((1, 64, 64, 3)))
+    n = sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
+    assert 2e6 < n < 5e6, n
+
+
+# --------------------------------------------------------------------------
+# FPN / fusion
+# --------------------------------------------------------------------------
+
+
+def _tiny_scales(key):
+    return {
+        "scale_small": jax.random.normal(key, (2, 8, 8, 24)),
+        "scale_medium": jax.random.normal(key, (2, 4, 4, 32)),
+        "scale_large": jax.random.normal(key, (2, 2, 2, 40)),
+    }
+
+
+def test_fpn_shapes(key):
+    fpn = FeaturePyramidNetwork(fpn_channels=16, out_channels=(16, 24, 32), sk_iters=5)
+    feats = _tiny_scales(key)
+    v = fpn.init(key, feats)
+    out = fpn.apply(v, feats)
+    assert out["fused_small"].shape == (2, 8, 8, 16)
+    assert out["fused_medium"].shape == (2, 4, 4, 24)
+    assert out["fused_large"].shape == (2, 2, 2, 32)
+
+
+def test_cross_scale_attention(key):
+    csa = CrossScaleAttention(channels=16, num_heads=2)
+    feats = _tiny_scales(key)
+    v = csa.init(key, feats)
+    out = csa.apply(v, feats)
+    assert set(out) == set(feats)
+    assert out["scale_small"].shape == (2, 8, 8, 16)
+
+
+def test_adaptive_and_multiscale_fusion(key):
+    feats = _tiny_scales(key)
+    aff = AdaptiveFeatureFusion(out_channels=16)
+    v = aff.init(key, feats)
+    assert aff.apply(v, feats).shape == (2, 8, 8, 16)
+    msf = MultiScaleFeatureFusion(out_channels=16)
+    v2 = msf.init(key, feats)
+    assert msf.apply(v2, feats).shape == (2, 8, 8, 16)
+
+
+# --------------------------------------------------------------------------
+# YOLO head + decode (reference test_inference.py:311-419 decode/NMS checks)
+# --------------------------------------------------------------------------
+
+
+def test_decode_known_values():
+    """Zero logits decode to anchor-centered boxes: sigmoid(0)=0.5 centers,
+    exp(0)=1 -> anchor-sized boxes."""
+    anchors = ((0.1, 0.2),)
+    grid = make_anchor_grid(2, 2, anchors)
+    raw = jnp.zeros((1, 2, 2, 1, 7))  # 2 classes
+    dec = decode_predictions(raw, jnp.asarray(grid))
+    boxes = np.asarray(dec["boxes"])  # [1,2,2,1,4]
+    # Cell (0,0): center (0.25, 0.25), size (0.1, 0.2)
+    np.testing.assert_allclose(
+        boxes[0, 0, 0, 0], [0.25 - 0.05, 0.25 - 0.1, 0.25 + 0.05, 0.25 + 0.1], atol=1e-6
+    )
+    # objectness sigmoid(0) = 0.5; cls 0.5 -> score 0.25
+    np.testing.assert_allclose(np.asarray(dec["scores"])[0, 0, 0, 0], 0.25, atol=1e-6)
+
+
+def test_yolo_head_and_postprocess(key):
+    head = YOLODetectionHead(num_classes=4, head_channels=16, sk_iters=5)
+    feats = {
+        "fused_small": jax.random.normal(key, (2, 8, 8, 16)),
+        "fused_medium": jax.random.normal(key, (2, 4, 4, 24)),
+        "fused_large": jax.random.normal(key, (2, 2, 2, 32)),
+    }
+    v = head.init(key, feats)
+    out = head.apply(v, feats)
+    n = (8 * 8 + 4 * 4 + 2 * 2) * 3
+    assert out["boxes"].shape == (2, n, 4)
+    assert out["scores"].shape == (2, n, 4)
+    det = postprocess_detections(out, score_threshold=0.01, max_detections=16,
+                                 pre_nms_top_k=64)
+    assert det.boxes.shape == (2, 16, 4)
+    assert det.scores.shape == (2, 16)
+
+
+# --------------------------------------------------------------------------
+# Full model (reference test_models.py:366-562)
+# --------------------------------------------------------------------------
+
+
+TINY_MODEL = dict(
+    num_classes=4,
+    base_channels=8,
+    stage_channels=(16, 24, 32, 40),
+    stage_blocks=(1, 1, 1, 1),
+    vit_dim=16,
+    vit_depth=1,
+    vit_heads=2,
+    fpn_channels=16,
+    head_channels=16,
+    feature_dim=32,
+    sk_iters=5,
+    dropout_rate=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_vars():
+    model = HybridVisionSystem(**TINY_MODEL)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x, task="detection")
+    return model, v
+
+
+def test_full_model_detection(tiny_model_and_vars):
+    model, v = tiny_model_and_vars
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    out = model.apply(v, x, task="detection")
+    assert "detection" in out and "features" in out
+    assert out["features"].shape == (2, 32)
+    assert bool(jnp.all(jnp.isfinite(out["detection"]["boxes"])))
+
+
+def test_full_model_detect_e2e(tiny_model_and_vars):
+    model, v = tiny_model_and_vars
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    det, out = detect(model, v, x, score_threshold=0.01, max_detections=8)
+    assert det.boxes.shape == (1, 8, 4)
+    assert det.num_valid.shape == (1,)
+
+
+def test_full_model_deterministic(tiny_model_and_vars):
+    """Same input -> identical outputs (reference test_inference.py:181-196)."""
+    model, v = tiny_model_and_vars
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    f = jax.jit(lambda x: model.apply(v, x, task="detection")["detection"]["boxes"])
+    np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(f(x)))
+
+
+def test_serialization_roundtrip(tiny_model_and_vars, tmp_path):
+    """Save/load -> allclose outputs (reference test_models.py:483-525)."""
+    model, v = tiny_model_and_vars
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 3))
+    out1 = model.apply(v, x, task="detection")["detection"]["boxes"]
+    blob = serialization.to_bytes(v)
+    path = tmp_path / "model.msgpack"
+    path.write_bytes(blob)
+    v2 = serialization.from_bytes(v, path.read_bytes())
+    out2 = model.apply(v2, x, task="detection")["detection"]["boxes"]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_classification_task(tiny_model_and_vars):
+    model, _ = tiny_model_and_vars
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x, task="classification")
+    out = model.apply(v, x, task="classification")
+    assert out["classification"].shape == (1, 4)
+
+
+def test_stability_metrics_aggregation():
+    model = HybridVisionSystem(**{**TINY_MODEL, "monitor": True})
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x, task="detection")
+    _, coll = model.apply(v, x, task="detection", mutable=["stability"])
+    s = collect_stability_metrics(coll["stability"])
+    assert s["num_layers"] > 5
+    assert s["ds_error_max"] < 1e-2
+
+
+@pytest.mark.slow
+def test_full_size_param_budget():
+    """Reference asserts 10-30M total params (src/tests/test_models.py:544-562)."""
+    model = HybridVisionSystem(sk_iters=5)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), task="detection")
+    n = sum(p.size for p in jax.tree_util.tree_leaves(v["params"]))
+    assert 10e6 < n < 30e6, n
+
+
+def test_precomputed_constraints_parity():
+    """Serving fast path (constraints precomputed at load) must produce the
+    same outputs as the training path that re-runs Sinkhorn each forward."""
+    from hvs_tpu.models import compute_constraints
+
+    train_model = HybridVisionSystem(**TINY_MODEL)
+    serve_model = HybridVisionSystem(**TINY_MODEL, precomputed_constraints=True)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 3))
+    v = train_model.init(jax.random.PRNGKey(0), x, task="detection")
+    out_train = train_model.apply(v, x, task="detection")["detection"]["boxes"]
+    constraints = compute_constraints(v["params"], sk_iters=TINY_MODEL["sk_iters"])
+    out_serve = serve_model.apply(
+        {"params": v["params"], "constraints": constraints}, x, task="detection"
+    )["detection"]["boxes"]
+    np.testing.assert_allclose(
+        np.asarray(out_train), np.asarray(out_serve), atol=1e-5
+    )

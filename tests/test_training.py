@@ -1,0 +1,268 @@
+"""Training-stack tests on synthetic data (behavioral spec: reference
+src/tests/test_training.py — single step, multi-step gradient stability,
+loss trend, scheduling, checkpoint round-trip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvs_tpu.models import HybridVisionSystem
+from hvs_tpu.parallel import make_mesh
+from hvs_tpu.training import (
+    ManifoldAwareScheduler,
+    ManifoldConstrainedTrainer,
+    PlateauSchedulerWithReset,
+    StabilityMonitor,
+    TrainerConfig,
+    TrainingStabilityMetrics,
+    build_targets,
+    cosine_annealing_with_warmup,
+    is_mhc_path,
+    make_optimizer,
+    manifold_regularization_loss,
+    mhc_partition,
+    mhc_yolo_loss,
+)
+
+TINY = dict(
+    num_classes=4, base_channels=8, stage_channels=(16, 24, 32, 40),
+    stage_blocks=(1, 1, 1, 1), vit_dim=16, vit_depth=1, vit_heads=2,
+    fpn_channels=16, head_channels=16, feature_dim=32, sk_iters=5,
+    dropout_rate=0.1,
+)
+
+
+def synthetic_batch(batch=4, size=64, n_boxes=8, seed=0):
+    """Random tensors as images/targets (reference test_training.py:61-88)."""
+    rng = np.random.default_rng(seed)
+    return {
+        "images": rng.standard_normal((batch, size, size, 3)).astype(np.float32),
+        "boxes": np.clip(rng.uniform(0.2, 0.8, (batch, n_boxes, 4)), 0.05, 0.95).astype(
+            np.float32
+        ),
+        "labels": rng.integers(0, 4, (batch, n_boxes)).astype(np.int32),
+        "box_mask": (rng.uniform(size=(batch, n_boxes)) > 0.3).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    model = HybridVisionSystem(**TINY)
+    cfg = TrainerConfig(
+        num_classes=4, sk_iters=5, project_every=5, stability_check_every=2,
+        warmup_steps=2, total_steps=100,
+    )
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    t = ManifoldConstrainedTrainer(model, cfg, mesh=mesh)
+    t.init_state(synthetic_batch())
+    return t
+
+
+# --------------------------------------------------------------------------
+# Target assignment + losses
+# --------------------------------------------------------------------------
+
+
+def test_build_targets_assigns_each_gt_once():
+    boxes = jnp.array([[[0.5, 0.5, 0.1, 0.1], [0.25, 0.25, 0.6, 0.6]]])  # cxcywh
+    labels = jnp.array([[2, 1]], jnp.int32)
+    mask = jnp.ones((1, 2))
+    grids = [(8, 8), (4, 4), (2, 2)]
+    t = build_targets(boxes, labels, mask, grids, num_classes=4)
+    total_pos = sum(float(jnp.sum(t[k]["obj"])) for k in t)
+    assert total_pos == 2.0
+    # Masked-out boxes scatter nowhere.
+    t2 = build_targets(boxes, labels, jnp.zeros((1, 2)), grids, num_classes=4)
+    assert sum(float(jnp.sum(t2[k]["obj"])) for k in t2) == 0.0
+
+
+def test_yolo_loss_decreases_toward_perfect_prediction():
+    """Loss at a 'perfect' raw prediction is lower than at a random one."""
+    grids = [(8, 8), (4, 4), (2, 2)]
+    boxes = jnp.array([[[0.5, 0.5, 0.2, 0.2]]])
+    labels = jnp.array([[1]], jnp.int32)
+    mask = jnp.ones((1, 1))
+    targets = build_targets(boxes, labels, mask, grids, num_classes=4)
+    key = jax.random.PRNGKey(0)
+    raw_rand = {
+        k: jax.random.normal(key, (1, g[0], g[1], 3, 9))
+        for k, g in zip(("fused_small", "fused_medium", "fused_large"), grids)
+    }
+    loss_rand, _ = mhc_yolo_loss(raw_rand, targets, 4)
+    raw_zero = {k: jnp.zeros_like(v) for k, v in raw_rand.items()}
+    loss_zero, m = mhc_yolo_loss(raw_zero, targets, 4)
+    assert np.isfinite(float(loss_rand)) and np.isfinite(float(loss_zero))
+    assert float(m["num_positives"]) == 1.0
+
+
+def test_manifold_regularization_nonnegative_and_differentiable():
+    model = HybridVisionSystem(**TINY)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), task="detection")
+
+    def f(p):
+        loss, _ = manifold_regularization_loss(p)
+        return loss
+
+    val, grad = jax.value_and_grad(f)(v["params"])
+    assert float(val) >= 0
+    gn = np.sqrt(sum(float(jnp.sum(g**2)) for g in jax.tree_util.tree_leaves(grad)))
+    assert np.isfinite(gn)
+
+
+# --------------------------------------------------------------------------
+# Optimizer partition
+# --------------------------------------------------------------------------
+
+
+def test_mhc_partition_selects_h_matrices():
+    model = HybridVisionSystem(**TINY)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), task="detection")
+    labels = mhc_partition(v["params"])
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    mhc_count = sum(1 for _, l in flat if l == "mhc")
+    reg_count = sum(1 for _, l in flat if l == "regular")
+    assert mhc_count > 10  # H matrices + mhc-scoped MLP/norm params
+    assert reg_count > 10
+    for path, label in flat:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        if keys[-1] in ("H_pre_raw", "H_post_raw", "H_res_raw"):
+            assert label == "mhc"
+
+
+def test_optimizer_step_updates_params():
+    opt = make_optimizer(1e-2, project_every=2)
+    params = {
+        "dense": {"kernel": jnp.ones((4, 4))},
+        "mhc": {"H_res_raw": jnp.ones((4, 4)) * 0.1},
+    }
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, state = opt.update(grads, state, params)
+    new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert not np.allclose(np.asarray(new_params["dense"]["kernel"]), 1.0)
+    # Second step triggers the hard Sinkhorn projection (every=2): the landed
+    # H_res_raw must map to a doubly stochastic matrix under Sinkhorn exactly.
+    updates, state = opt.update(grads, state, new_params)
+    projected = jax.tree_util.tree_map(lambda p, u: p + u, new_params, updates)
+    from hvs_tpu.ops import sinkhorn_log, doubly_stochastic_error
+
+    h = jnp.exp(projected["mhc"]["H_res_raw"])  # param is log(P)
+    err = float(doubly_stochastic_error(h))
+    assert err < 1e-2, err
+
+
+# --------------------------------------------------------------------------
+# Schedules
+# --------------------------------------------------------------------------
+
+
+def test_warmup_cosine_schedule():
+    s = cosine_annealing_with_warmup(1.0, warmup_steps=10, total_steps=100)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(10)) - 1.0) < 1e-6
+    assert float(s(100)) < 0.02
+    assert float(s(55)) < float(s(20))
+
+
+def test_plateau_scheduler():
+    p = PlateauSchedulerWithReset(patience=1, factor=0.5)
+    assert p.step(1.0) == 1.0
+    p.step(1.0)
+    scale = p.step(1.0)  # exceeded patience
+    assert scale == 0.5
+
+
+def test_manifold_aware_scheduler():
+    m = ManifoldAwareScheduler()
+    s1 = m.step({"grad_norm": 100.0})
+    assert s1 < 1.0
+    for _ in range(50):
+        s = m.step({"grad_norm": 0.1})
+    assert s > s1
+
+
+# --------------------------------------------------------------------------
+# Trainer (reference test_training.py:116-284)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_multi_step_gradient_stability(trainer):
+    """10 steps: finite loss, bounded grad norms (reference asserts
+    1e-8 < ||g|| < 1000 over 20 steps)."""
+    losses, gnorms = [], []
+    for i in range(10):
+        m = trainer.train_step(synthetic_batch(seed=i))
+        losses.append(float(m["loss"]))
+        gnorms.append(float(m["grad_norm"]))
+    assert all(np.isfinite(losses))
+    assert all(1e-8 < g < 1000 for g in gnorms), gnorms
+    cv = np.std(losses) / (abs(np.mean(losses)) + 1e-9)
+    assert cv < 2.0
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(trainer, tmp_path):
+    trainer.config.checkpoint_dir = str(tmp_path)
+    trainer.train_step(synthetic_batch(seed=42))
+    step = int(trainer.state.step)
+    lr_scale = float(trainer.state.lr_scale)
+    path = trainer.save_checkpoint("ckpt")
+    trainer.train_step(synthetic_batch(seed=43))
+    assert int(trainer.state.step) == step + 1
+    trainer.load_checkpoint(path)
+    assert int(trainer.state.step) == step
+    assert float(trainer.state.lr_scale) == lr_scale
+
+
+@pytest.mark.slow
+def test_stability_correction_halves_lr(trainer):
+    before = float(trainer.state.lr_scale)
+    trainer._apply_stability_corrections({"alerts": ["test"]})
+    assert float(trainer.state.lr_scale) == pytest.approx(before * 0.5)
+    # restore for other tests
+    trainer.state = trainer.state.replace(
+        lr_scale=jnp.asarray(before, jnp.float32)
+    )
+
+
+# --------------------------------------------------------------------------
+# Stability monitor
+# --------------------------------------------------------------------------
+
+
+def test_stability_monitor_alerts():
+    mon = StabilityMonitor()
+    r = mon.check_stability({"loss": 1.0, "grad_norm": 1.0})
+    assert r["is_stable"]
+    r = mon.check_stability({"loss": 1.0, "grad_norm": 1e9})
+    assert not r["is_stable"] and "gradient_explosion" in r["alerts"][0]
+    r = mon.check_stability({"loss": float("nan"), "grad_norm": 1.0})
+    assert not r["is_stable"]
+    for i in range(20):
+        mon.check_stability({"loss": 1.0 + 0.001 * i, "grad_norm": 1.0})
+    r = mon.check_stability({"loss": 100.0, "grad_norm": 1.0})
+    assert any("loss_jump" in a for a in r["alerts"])
+
+
+def test_stability_monitor_report(tmp_path):
+    mon = StabilityMonitor()
+    mon.check_stability({"loss": 1.0, "grad_norm": 1e9})
+    p = tmp_path / "report.json"
+    mon.save_report(str(p))
+    import json
+
+    data = json.loads(p.read_text())
+    assert len(data["alerts"]) == 1
+
+
+def test_training_stability_metrics_score():
+    t = TrainingStabilityMetrics()
+    for i in range(50):
+        t.update({"grad_norm": 1.0 + 0.01 * i, "loss": 5.0 - 0.01 * i,
+                  "ds_error_max": 1e-4})
+    score = t.stability_score()
+    assert 0.5 < score <= 1.0
+    s = t.summary()
+    assert "grad_norm" in s and "mean" in s["grad_norm"]
