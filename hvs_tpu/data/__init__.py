@@ -1,0 +1,41 @@
+"""Data pipeline (reference: src/data/__init__.py:3-26 — including the
+camera-stream API its broken streaming.py never actually defined)."""
+
+from .dataset import BaseVisionDataset, letterbox, load_image
+from .coco import COCODataset, COCODataModule
+from .transforms import (
+    MHCTransformComposer,
+    AdaptiveAugmentation,
+    batch_augment_device,
+    mosaic,
+    mixup,
+    hflip,
+    color_jitter,
+    random_resized_crop,
+    rotate_small,
+    random_erasing,
+)
+from .loader import (
+    MHCDataLoader,
+    StreamingDataLoader,
+    ShardedDataLoader,
+    default_collate,
+)
+from .streaming import (
+    StreamType,
+    StreamConfig,
+    Frame,
+    RoboticCameraStream,
+    MultiCameraManager,
+)
+
+__all__ = [
+    "BaseVisionDataset", "letterbox", "load_image",
+    "COCODataset", "COCODataModule",
+    "MHCTransformComposer", "AdaptiveAugmentation", "batch_augment_device",
+    "mosaic", "mixup", "hflip", "color_jitter", "random_resized_crop",
+    "rotate_small", "random_erasing",
+    "MHCDataLoader", "StreamingDataLoader", "ShardedDataLoader", "default_collate",
+    "StreamType", "StreamConfig", "Frame", "RoboticCameraStream",
+    "MultiCameraManager",
+]

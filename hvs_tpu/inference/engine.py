@@ -1,0 +1,397 @@
+"""Inference engine: bucketed jitted serve functions + continuous micro-batching.
+
+TPU-native redesign of the reference engine
+(reference: src/inference/engine.py:33-671). The reference's
+device-flag/TensorRT/half machinery becomes:
+
+  * ONE jitted serve function per batch bucket (1/2/4/8) — fixed shapes, no XLA
+    recompiles under variable request load (SURVEY §7 hard part b). Requests
+    pad into the smallest fitting bucket.
+  * The full pipeline — uint8 image in HBM -> normalize (fused) -> flagship
+    forward (bf16, constrained matrices precomputed at load) -> on-device
+    decode + class-aware NMS -> fixed-size detections — is a single XLA
+    program; nothing returns to the host until final boxes.
+  * A background micro-batcher thread with a deadline flush (reference
+    :389-471) feeds the buckets; an asyncio wrapper provides the async API
+    (reference :564-671).
+  * Latency bookkeeping via :class:`hvs_tpu.utils.metrics.InferenceMetrics`
+    (p50/p95/p99, reference :473-511); stability report from the parameters
+    (reference :513-555).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config.inference import InferenceConfig
+from ..config.model import ModelConfig
+from ..constants import COCO_CLASSES, IMAGENET_MEAN, IMAGENET_STD
+from ..data.dataset import letterbox
+from ..utils.metrics import InferenceMetrics
+
+
+@dataclass
+class Detections:
+    """Host-side detection result for one image (boxes in original pixels)."""
+
+    boxes: np.ndarray  # [K, 4] xyxy pixels
+    scores: np.ndarray  # [K]
+    classes: np.ndarray  # [K] int
+    class_names: List[str]
+    latency_ms: float
+    image_size: Tuple[int, int]  # (h, w)
+
+    def __len__(self) -> int:
+        return len(self.boxes)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "boxes": self.boxes.tolist(),
+            "scores": self.scores.tolist(),
+            "classes": self.classes.tolist(),
+            "class_names": self.class_names,
+            "latency_ms": self.latency_ms,
+        }
+
+
+class InferenceEngine:
+    """Single-model serving engine (reference: InferenceEngine,
+    src/inference/engine.py:66-555)."""
+
+    def __init__(
+        self,
+        model_config: Optional[ModelConfig] = None,
+        inference_config: Optional[InferenceConfig] = None,
+        variables: Optional[Dict[str, Any]] = None,
+        rng_seed: int = 0,
+    ):
+        import jax
+
+        self.model_config = model_config or ModelConfig()
+        self.config = inference_config or InferenceConfig()
+        if self.config.performance.compile_cache_dir:
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    self.config.performance.compile_cache_dir,
+                )
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            except Exception:
+                pass
+
+        self.model = self.model_config.build_model(production=True)
+        self.image_size = self.config.preprocessing.image_size
+        self.class_names = list(COCO_CLASSES[: self.model_config.detection.num_classes])
+        self.metrics = InferenceMetrics(
+            latency_target_ms=self.config.performance.latency_target_ms
+        )
+
+        if variables is None and self.config.checkpoint_path:
+            variables = self.load_checkpoint(self.config.checkpoint_path)
+        if variables is None:
+            import functools
+            import jax.numpy as jnp
+
+            init = jax.jit(functools.partial(self.model.init, task="detection"))
+            variables = init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, self.image_size, self.image_size, 3), jnp.float32),
+            )
+        self.variables = self._prepare_variables(variables)
+
+        self._serve_fns: Dict[int, Any] = {}
+        self._batcher: Optional[_MicroBatcher] = None
+        self._stability_report: Optional[Dict[str, Any]] = None
+
+    # ------------------------------------------------------------------
+    def _prepare_variables(self, variables: Dict[str, Any]) -> Dict[str, Any]:
+        """Precompute the constrained matrices at load (serving fast path)."""
+        from ..models import compute_constraints
+
+        params = variables["params"] if "params" in variables else variables
+        return {
+            "params": params,
+            "constraints": compute_constraints(
+                params, sk_iters=self.model_config.mhc.sinkhorn_iterations
+            ),
+        }
+
+    def load_checkpoint(self, path: str) -> Dict[str, Any]:
+        """Load params from orbax or flax-msgpack artifacts
+        (reference: engine.py:131-160 handles multiple checkpoint layouts)."""
+        import os
+
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(os.path.abspath(path))
+            params = restored.get("params", restored)
+            return {"params": params}
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            blob = f.read()
+        restored = serialization.msgpack_restore(blob)
+        return {"params": restored.get("params", restored)}
+
+    def reload(self, variables: Dict[str, Any]) -> None:
+        """Hot model swap (backs the API's POST /models/switch,
+        reference api_server.py:460-523)."""
+        self.variables = self._prepare_variables(variables)
+        self._serve_fns.clear()
+
+    # ------------------------------------------------------------------
+    def _serve_fn(self, batch: int):
+        """Build/cache the jitted end-to-end function for one batch bucket."""
+        if batch in self._serve_fns:
+            return self._serve_fns[batch]
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.yolo_head import postprocess_detections
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        pp = self.config.postprocessing
+        normalize = self.config.preprocessing.normalize
+
+        def serve(images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            if normalize:
+                x = (x - mean) / std
+            out = self.model.apply(self.variables, x, task="detection")
+            det = postprocess_detections(
+                out["detection"],
+                score_threshold=pp.score_threshold,
+                iou_threshold=pp.iou_threshold,
+                max_detections=pp.max_detections,
+                pre_nms_top_k=pp.pre_nms_top_k,
+                nms_method=pp.nms_method,
+            )
+            return det.boxes, det.scores, det.classes, det.num_valid
+
+        fn = jax.jit(serve)
+        self._serve_fns[batch] = fn
+        return fn
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.config.performance.batch_buckets:
+            if n <= b:
+                return b
+        return self.config.performance.batch_buckets[-1]
+
+    def warmup(self) -> None:
+        """Compile every bucket (reference: engine.py:195-219)."""
+        import jax
+        import numpy as np
+
+        for b in self.config.performance.batch_buckets:
+            x = np.zeros((b, self.image_size, self.image_size, 3), np.uint8)
+            r = self._serve_fn(b)(x)
+            jax.block_until_ready(r)
+
+    # ------------------------------------------------------------------
+    def _preprocess(self, image: np.ndarray) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+        if self.config.preprocessing.bgr_to_rgb and image.ndim == 3:
+            image = image[..., ::-1]
+        return letterbox(
+            image, self.image_size, self.config.preprocessing.pad_color
+        )
+
+    def _postprocess_host(
+        self, boxes, scores, classes, num_valid, scale, pad, orig_hw, latency_s
+    ) -> Detections:
+        k = int(num_valid)
+        b = np.asarray(boxes[:k], np.float32) * self.image_size
+        px, py = pad
+        b[:, [0, 2]] = (b[:, [0, 2]] - px) / scale
+        b[:, [1, 3]] = (b[:, [1, 3]] - py) / scale
+        h, w = orig_hw
+        b[:, [0, 2]] = np.clip(b[:, [0, 2]], 0, w)
+        b[:, [1, 3]] = np.clip(b[:, [1, 3]], 0, h)
+        cls = np.asarray(classes[:k], np.int64)
+        # Validity filter (reference postprocessing.py:362-408): degenerate boxes out.
+        wh = np.stack([b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], 1)
+        keep = (wh > self.config.postprocessing.min_box_size).all(1)
+        ar = np.maximum(wh[:, 0], 1e-3) / np.maximum(wh[:, 1], 1e-3)
+        keep &= (ar < self.config.postprocessing.max_aspect_ratio) & (
+            ar > 1.0 / self.config.postprocessing.max_aspect_ratio
+        )
+        b, cls = b[keep], cls[keep]
+        s = np.asarray(scores[:k], np.float32)[keep]
+        names = [
+            self.class_names[c] if 0 <= c < len(self.class_names) else str(c)
+            for c in cls
+        ]
+        return Detections(
+            boxes=b, scores=s, classes=cls, class_names=names,
+            latency_ms=latency_s * 1e3, image_size=orig_hw,
+        )
+
+    # ------------------------------------------------------------------
+    def infer(self, image: np.ndarray) -> Detections:
+        """Single-image inference (reference: engine.py:251-317)."""
+        return self.infer_batch([image])[0]
+
+    def infer_batch(self, images: Sequence[np.ndarray]) -> List[Detections]:
+        """Batched inference with per-image result splitting
+        (reference: engine.py:319-387)."""
+        import jax
+
+        t0 = time.perf_counter()
+        n = len(images)
+        bucket = self._bucket_for(n)
+        batch = np.zeros((bucket, self.image_size, self.image_size, 3), np.uint8)
+        meta = []
+        for i, img in enumerate(images):
+            padded, scale, pad = self._preprocess(np.asarray(img))
+            batch[i] = padded
+            meta.append((scale, pad, img.shape[:2]))
+        boxes, scores, classes, num_valid = self._serve_fn(bucket)(batch)
+        jax.block_until_ready(boxes)
+        latency = time.perf_counter() - t0
+        self.metrics.record(latency, batch_size=n)
+
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        classes = np.asarray(classes)
+        num_valid = np.asarray(num_valid)
+        return [
+            self._postprocess_host(
+                boxes[i], scores[i], classes[i], num_valid[i], *meta[i], latency
+            )
+            for i in range(n)
+        ]
+
+    # ------------------------------------------------------------------
+    def start_batcher(self) -> None:
+        """Start the continuous micro-batching thread (reference: engine.py:389-471)."""
+        if self._batcher is None:
+            self._batcher = _MicroBatcher(self)
+            self._batcher.start()
+
+    def stop_batcher(self) -> None:
+        if self._batcher is not None:
+            self._batcher.stop()
+            self._batcher = None
+
+    def submit(self, image: np.ndarray) -> "Future[Detections]":
+        """Queue an image for micro-batched inference; returns a Future."""
+        assert self._batcher is not None, "call start_batcher() first"
+        return self._batcher.submit(image)
+
+    # ------------------------------------------------------------------
+    def get_performance_stats(self) -> Dict[str, float]:
+        """(reference: engine.py:473-511)"""
+        return self.metrics.summary()
+
+    def get_stability_report(self) -> Dict[str, Any]:
+        """Constraint satisfaction of the loaded weights
+        (reference: engine.py:513-555 — eigenvalue <= 1 check)."""
+        if self._stability_report is None:
+            import jax.numpy as jnp
+
+            from ..ops.sinkhorn import doubly_stochastic_error
+            from ..training.losses import iter_h_res_leaves
+            from ..ops.sinkhorn import sinkhorn_log
+
+            worst_ds, worst_eig, n = 0.0, 0.0, 0
+            for _, leaf in iter_h_res_leaves(self.variables["params"]):
+                h = sinkhorn_log(jnp.asarray(leaf, jnp.float32), 20)
+                worst_ds = max(worst_ds, float(doubly_stochastic_error(h)))
+                eig = float(jnp.linalg.eigvalsh(0.5 * (h + h.T))[-1])
+                worst_eig = max(worst_eig, eig)
+                n += 1
+            self._stability_report = {
+                "num_mhc_layers": n,
+                "max_ds_error": worst_ds,
+                "max_eigenvalue": worst_eig,
+                "eigenvalue_constraint_satisfied": worst_eig <= 1.0 + 1e-3,
+            }
+        return dict(self._stability_report)
+
+
+class _MicroBatcher:
+    """Deadline-flush micro-batching thread (reference: engine.py:389-471)."""
+
+    def __init__(self, engine: InferenceEngine):
+        self.engine = engine
+        self.queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.max_delay_s = engine.config.performance.max_queue_delay_ms / 1e3
+        self.max_batch = max(engine.config.performance.batch_buckets)
+
+    def submit(self, image: np.ndarray) -> "Future[Detections]":
+        fut: "Future[Detections]" = Future()
+        self.queue.put((image, fut))
+        return fut
+
+    def start(self) -> None:
+        def loop():
+            while not self._stop.is_set():
+                try:
+                    first = self.queue.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                items = [first]
+                deadline = time.perf_counter() + self.max_delay_s
+                while len(items) < self.max_batch:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    try:
+                        items.append(self.queue.get(timeout=remaining))
+                    except queue.Empty:
+                        break
+                images = [im for im, _ in items]
+                try:
+                    results = self.engine.infer_batch(images)
+                    for (_, fut), det in zip(items, results):
+                        fut.set_result(det)
+                except Exception as e:
+                    self.engine.metrics.record_error()
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+            self._thread = None
+
+
+class AsyncInferenceEngine:
+    """asyncio facade over the micro-batcher
+    (reference: AsyncInferenceEngine, src/inference/engine.py:564-671)."""
+
+    def __init__(self, engine: InferenceEngine):
+        self.engine = engine
+        engine.start_batcher()
+
+    async def infer(self, image: np.ndarray) -> Detections:
+        import asyncio
+
+        fut = self.engine.submit(image)
+        return await asyncio.wrap_future(fut)
+
+    async def infer_batch(self, images: Sequence[np.ndarray]) -> List[Detections]:
+        import asyncio
+
+        futs = [self.engine.submit(im) for im in images]
+        return await asyncio.gather(*[asyncio.wrap_future(f) for f in futs])
+
+    def close(self) -> None:
+        self.engine.stop_batcher()

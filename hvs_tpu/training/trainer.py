@@ -210,7 +210,10 @@ class ManifoldConstrainedTrainer:
     # ------------------------------------------------------------------
     def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
         images = jnp.asarray(sample_batch["images"])
-        params = self.model.init(self.rng, images, task="detection")["params"]
+        # jit the init: eager flax init dispatches thousands of tiny ops
+        # (minutes on slow hosts); one compiled graph takes seconds.
+        init_fn = jax.jit(partial(self.model.init, task="detection"))
+        params = init_fn(self.rng, images)["params"]
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=self.tx,
             lr_scale=jnp.ones([], jnp.float32),

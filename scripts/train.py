@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Training entry point — mesh-based data parallelism over ICI/DCN.
+
+TPU-native rebuild of the reference DDP launcher
+(reference: scripts/train.py:34-301). The NCCL process group + DistributedSampler
++ DDP wrap become: ``jax.distributed.initialize`` (multi-host), a
+('data','model') mesh, and a ShardedDataLoader feeding sharded jax Arrays; the
+gradient all-reduce is XLA's psum inside the jitted step.
+
+Usage:
+    python scripts/train.py --config configs/training.yaml --epochs 2
+    python scripts/train.py --synthetic --steps 20        # no dataset needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train HybridVisionSystem on TPU")
+    p.add_argument("--config", default=None, help="training YAML")
+    p.add_argument("--model-config", default=None, help="model YAML")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic random data (smoke/CI)")
+    p.add_argument("--steps", type=int, default=50,
+                   help="steps per epoch in --synthetic mode")
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--tiny", action="store_true", help="tiny model (smoke/CI)")
+    p.add_argument("--n-model", type=int, default=1, help="tensor-parallel axis size")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args()
+
+
+def make_synthetic_loader(batch, image_size, steps, num_classes, max_boxes, seed=0):
+    import numpy as np
+
+    def loader():
+        rng = np.random.default_rng(seed)
+        for _ in range(steps):
+            yield {
+                "images": rng.standard_normal(
+                    (batch, image_size, image_size, 3)
+                ).astype(np.float32),
+                "boxes": np.clip(
+                    rng.uniform(0.1, 0.9, (batch, max_boxes, 4)), 0.05, 0.95
+                ).astype(np.float32),
+                "labels": rng.integers(0, num_classes, (batch, max_boxes)).astype(
+                    np.int32
+                ),
+                "box_mask": (rng.uniform(size=(batch, max_boxes)) > 0.5).astype(
+                    np.float32
+                ),
+            }
+
+    return loader
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    from hvs_tpu.config import ModelConfig, TrainingConfig, load_config
+    from hvs_tpu.parallel import initialize_distributed, make_mesh
+    from hvs_tpu.training import ManifoldConstrainedTrainer
+    from hvs_tpu.utils import setup_logger
+
+    tcfg = (
+        load_config(args.config, "training") if args.config else TrainingConfig()
+    )
+    mcfg = (
+        load_config(args.model_config, "model") if args.model_config else ModelConfig()
+    )
+    if args.epochs is not None:
+        tcfg.epochs = args.epochs
+    if args.batch_size is not None:
+        tcfg.batch_size = args.batch_size
+    if args.learning_rate is not None:
+        tcfg.optimizer.learning_rate = args.learning_rate
+    if args.data_root is not None:
+        tcfg.dataset.root = args.data_root
+    if args.image_size is not None:
+        tcfg.dataset.image_size = args.image_size
+    if args.tiny:
+        mcfg.backbone.stage_channels = (16, 24, 32, 40)
+        mcfg.backbone.stage_blocks = (1, 1, 1, 1)
+        mcfg.vit.dim = 16
+        mcfg.vit.depth = 1
+        mcfg.vit.num_heads = 2
+        mcfg.fusion.fpn_channels = 16
+        mcfg.detection.head_channels = 16
+        mcfg.mhc.sinkhorn_iterations = 5
+        tcfg.dataset.image_size = min(tcfg.dataset.image_size, 64)
+        tcfg.dataset.max_boxes = min(tcfg.dataset.max_boxes, 8)
+
+    log = setup_logger("train", log_dir=tcfg.log_dir)
+
+    # Multi-host rendezvous (replaces dist.init_process_group, reference :34-49).
+    if tcfg.distributed.enabled:
+        initialize_distributed(
+            tcfg.distributed.coordinator_address,
+            tcfg.distributed.num_processes,
+            tcfg.distributed.process_id,
+        )
+    mesh = make_mesh(n_model=args.n_model)
+    log.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
+
+    model = mcfg.build_model()
+    trainer = ManifoldConstrainedTrainer(
+        model,
+        tcfg.trainer_config(num_classes=mcfg.detection.num_classes),
+        mesh=mesh,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+
+    if args.synthetic:
+        train_loader_fn = make_synthetic_loader(
+            tcfg.batch_size, tcfg.dataset.image_size, args.steps,
+            mcfg.detection.num_classes, tcfg.dataset.max_boxes,
+        )
+        val_loader_fn = make_synthetic_loader(
+            tcfg.batch_size, tcfg.dataset.image_size, max(args.steps // 5, 1),
+            mcfg.detection.num_classes, tcfg.dataset.max_boxes, seed=1,
+        )
+    else:
+        from hvs_tpu.data import COCODataModule
+
+        dm = COCODataModule(
+            root=tcfg.dataset.root,
+            image_size=tcfg.dataset.image_size,
+            batch_size=tcfg.batch_size,
+            max_boxes=tcfg.dataset.max_boxes,
+            num_workers=tcfg.dataset.num_workers,
+            train_split=tcfg.dataset.train_split,
+            val_split=tcfg.dataset.val_split,
+            max_samples=tcfg.dataset.max_samples,
+            augmentation_config=tcfg.augmentation,
+        )
+        dm.setup()
+        train_loader_fn = dm.train_dataloader
+        val_loader_fn = dm.val_dataloader
+
+    trainer.init_state(next(iter(train_loader_fn())))
+    log.info("initialized %d-param model",
+             sum(p.size for p in jax.tree_util.tree_leaves(trainer.state.params)))
+
+    result = trainer.train(
+        train_loader_fn, val_loader_fn, epochs=tcfg.epochs, resume_from=args.resume
+    )
+    log.info("training done: best_val_loss=%s", result["best_val_loss"])
+    for epoch, loss in enumerate(result["history"]["train_loss"]):
+        log.log_metrics({"epoch_train_loss": loss}, step=epoch)
+    stability_path = os.path.join(tcfg.log_dir, "stability_report.json")
+    trainer.monitor.save_report(stability_path)
+    log.info("stability report: %s", stability_path)
+
+
+if __name__ == "__main__":
+    main()

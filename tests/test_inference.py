@@ -1,0 +1,297 @@
+"""Inference-stack tests (behavioral spec: reference src/tests/test_inference.py —
+engine output structure, batch inference, determinism, edge cases, preprocessor
+geometry, postprocessor NMS semantics, tracker)."""
+
+import numpy as np
+import pytest
+
+from hvs_tpu.config import InferenceConfig, ModelConfig
+from hvs_tpu.inference import (
+    CompleteInferencePipeline,
+    DetectionPostprocessor,
+    DetectionTracker,
+    DetectionVisualizer,
+    ImagePreprocessor,
+    InferenceEngine,
+    NMSFilter,
+    PerformanceMonitor,
+    PreprocessMode,
+    SafetyMonitor,
+    RobotConfig,
+    RobotCommand,
+    commands_from_detections,
+    encode_message,
+)
+
+
+def tiny_model_config() -> ModelConfig:
+    cfg = ModelConfig(input_size=64, feature_dim=32)
+    cfg.backbone.stage_channels = (16, 24, 32, 40)
+    cfg.backbone.stage_blocks = (1, 1, 1, 1)
+    cfg.vit.dim = 16
+    cfg.vit.depth = 1
+    cfg.vit.num_heads = 2
+    cfg.fusion.fpn_channels = 16
+    cfg.fusion.out_channels = (16, 24, 32)
+    cfg.detection.head_channels = 16
+    cfg.detection.num_classes = 8
+    cfg.mhc.sinkhorn_iterations = 5
+    return cfg
+
+
+def tiny_inference_config() -> InferenceConfig:
+    cfg = InferenceConfig()
+    cfg.preprocessing.image_size = 64
+    cfg.performance.batch_buckets = (1, 2)
+    cfg.performance.compile_cache_dir = None
+    cfg.postprocessing.score_threshold = 0.01
+    cfg.postprocessing.pre_nms_top_k = 64
+    cfg.postprocessing.max_detections = 16
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def engine():
+    e = InferenceEngine(tiny_model_config(), tiny_inference_config())
+    e.warmup()
+    return e
+
+
+def _image(seed=0, h=80, w=100):
+    return np.random.default_rng(seed).integers(0, 255, (h, w, 3), np.uint8)
+
+
+# ---------------- engine (reference test_inference.py:60-218) ----------------
+
+
+def test_engine_output_structure(engine):
+    det = engine.infer(_image())
+    assert det.boxes.shape[1] == 4 if len(det) else det.boxes.shape == (0, 4)
+    assert len(det.scores) == len(det.boxes) == len(det.classes)
+    assert det.latency_ms > 0
+    assert det.image_size == (80, 100)
+    # boxes within original image bounds
+    if len(det):
+        assert det.boxes[:, [0, 2]].max() <= 100 + 1e-3
+        assert det.boxes[:, [1, 3]].max() <= 80 + 1e-3
+
+
+def test_engine_batch_split(engine):
+    results = engine.infer_batch([_image(1), _image(2, h=60, w=60)])
+    assert len(results) == 2
+    assert results[1].image_size == (60, 60)
+
+
+def test_engine_deterministic(engine):
+    """Same input -> identical detections (reference :181-196)."""
+    img = _image(3)
+    d1 = engine.infer(img)
+    d2 = engine.infer(img)
+    np.testing.assert_array_equal(d1.boxes, d2.boxes)
+    np.testing.assert_array_equal(d1.scores, d2.scores)
+
+
+def test_engine_edge_cases(engine):
+    """Tiny / single-color / extreme-aspect inputs must not crash (reference :198-218)."""
+    for img in [
+        np.zeros((8, 8, 3), np.uint8),
+        np.full((64, 64, 3), 255, np.uint8),
+        _image(4, h=10, w=200),
+    ]:
+        det = engine.infer(img)
+        assert det.boxes.shape[-1] == 4 or len(det) == 0
+
+
+def test_engine_perf_stats(engine):
+    engine.infer(_image(5))
+    stats = engine.get_performance_stats()
+    assert stats["count"] >= 1
+    assert "p95_latency_ms" in stats
+
+
+def test_engine_stability_report(engine):
+    rep = engine.get_stability_report()
+    assert rep["num_mhc_layers"] > 3
+    assert rep["max_ds_error"] < 1e-2
+    assert rep["eigenvalue_constraint_satisfied"]
+
+
+def test_engine_micro_batcher(engine):
+    engine.start_batcher()
+    futs = [engine.submit(_image(i)) for i in range(3)]
+    results = [f.result(timeout=30) for f in futs]
+    engine.stop_batcher()
+    assert all(r.latency_ms > 0 for r in results)
+
+
+def test_async_engine(engine):
+    import asyncio
+
+    from hvs_tpu.inference import AsyncInferenceEngine
+
+    async def go():
+        ae = AsyncInferenceEngine(engine)
+        try:
+            return await ae.infer(_image(9))
+        finally:
+            ae.close()
+
+    det = asyncio.run(go())
+    assert det.latency_ms > 0
+
+
+def test_engine_hot_reload(engine):
+    """Model swap keeps serving (backs POST /models/switch)."""
+    import jax
+
+    old = engine.variables
+    v = tiny_model_config().build_model().init(
+        jax.random.PRNGKey(7),
+        np.zeros((1, 64, 64, 3), np.float32),
+        task="detection",
+    )
+    engine.reload(v)
+    det = engine.infer(_image(10))
+    assert det.latency_ms > 0
+    engine.reload({"params": old["params"]})
+
+
+# ---------------- preprocessor (reference :221-309) ----------------
+
+
+def test_preprocessor_letterbox_geometry():
+    pre = ImagePreprocessor(image_size=64)
+    r = pre.process(_image(0, h=50, w=100))
+    assert r.image.shape == (64, 64, 3)
+    assert abs(r.scale - 64 / 100) < 1e-6
+    assert r.pad[1] == (64 - 32) // 2
+
+
+def test_preprocessor_fast_mode():
+    pre = ImagePreprocessor(image_size=32, mode=PreprocessMode.FAST)
+    r = pre.process(_image(0))
+    assert r.image.shape == (32, 32, 3)
+
+
+def test_preprocessor_grayscale_input():
+    pre = ImagePreprocessor(image_size=32)
+    gray = np.random.default_rng(0).integers(0, 255, (40, 40), np.uint8)
+    r = pre.process(gray)
+    assert r.image.shape == (32, 32, 3)
+
+
+# ---------------- postprocessor (reference :311-419) ----------------
+
+
+def test_nms_filter_semantics():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    classes = np.array([0, 0, 1], np.int32)
+    f = NMSFilter("hard", iou_threshold=0.5, score_threshold=0.1)
+    b, s, c = f.apply(boxes, scores, classes)
+    assert len(b) == 2
+    keep = NMSFilter.greedy_numpy(boxes, scores, 0.5)
+    assert 0 in keep and 2 in keep
+
+
+def test_postprocessor_pipeline():
+    rng = np.random.default_rng(0)
+    boxes = rng.uniform(0.1, 0.9, (50, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + 0.05
+    scores = rng.uniform(0, 1, (50, 4)).astype(np.float32)
+    pp = DetectionPostprocessor(score_threshold=0.5)
+    out = pp.process({"boxes": boxes, "scores": scores}, image_size=(100, 100))
+    assert out["boxes"].shape[-1] == 4 or len(out["boxes"]) == 0
+    if len(out["boxes"]):
+        assert out["boxes"].max() <= 100
+
+
+def test_tracker_lifecycle():
+    t = DetectionTracker(iou_threshold=0.3, max_age=2, min_hits=2)
+    box = np.array([[10, 10, 30, 30]], np.float32)
+    # First sight: track exists but below min_hits.
+    assert t.update(box, np.array([0.9]), np.array([1])) == []
+    # Second sight: confirmed.
+    tracks = t.update(box + 1, np.array([0.9]), np.array([1]))
+    assert len(tracks) == 1 and tracks[0].hits == 2
+    tid = tracks[0].track_id
+    # Missed frames age it out.
+    for _ in range(3):
+        t.update(np.zeros((0, 4), np.float32), np.zeros(0), np.zeros(0, np.int32))
+    assert all(tr.track_id != tid for tr in t.tracks)
+
+
+def test_tracker_class_consistency():
+    t = DetectionTracker(min_hits=1)
+    box = np.array([[10, 10, 30, 30]], np.float32)
+    t.update(box, np.array([0.9]), np.array([1]))
+    t.update(box, np.array([0.9]), np.array([2]))  # same box, other class
+    assert len(t.tracks) == 2  # no cross-class match
+
+
+# ---------------- visualizer ----------------
+
+
+def test_visualizer_draws():
+    vis = DetectionVisualizer(class_names=["a", "b"])
+    frame = np.zeros((60, 60, 3), np.uint8)
+    out = vis.draw_detections(
+        frame, np.array([[5, 5, 30, 30]]), np.array([0.9]), np.array([1])
+    )
+    assert out.sum() > 0
+    out2 = vis.draw_performance_overlay(out, fps=30.0, latency_ms=5.0,
+                                        latency_history=[5, 6, 7])
+    assert out2.shape == frame.shape
+
+
+def test_performance_monitor():
+    pm = PerformanceMonitor()
+    for _ in range(3):
+        pm.tick(latency_ms=10.0)
+    s = pm.summary()
+    assert s["latency_mean_ms"] == 10.0
+
+
+# ---------------- robot interface (reference test_deployment.py:481-550) ----
+
+
+def test_safety_monitor_gates_commands(engine):
+    cfg = RobotConfig(safety_distance_m=100.0, emergency_distance_m=50.0)
+    mon = SafetyMonitor(cfg)
+    det = engine.infer(_image(11))
+    mon.update_from_detections(det)
+    cmd = mon.gate_command(RobotCommand("move", linear_velocity=10.0))
+    # velocity clamped to config max
+    assert cmd.linear_velocity <= cfg.max_linear_velocity or cmd.command == "emergency_stop"
+
+
+def test_message_encoding():
+    msg = encode_message({"command": "stop"})
+    assert len(msg) > 4
+    import struct
+
+    (length,) = struct.unpack(">I", msg[:4])
+    assert length == len(msg) - 4
+
+
+def test_commands_from_detections(engine):
+    det = engine.infer(_image(12))
+    cmds = commands_from_detections(det)
+    assert all(c.action in ("follow", "avoid", "observe") for c in cmds)
+
+
+# ---------------- end-to-end pipeline ----------------
+
+
+@pytest.mark.integration
+def test_complete_pipeline_synthetic_camera():
+    pipe = CompleteInferencePipeline(
+        tiny_model_config(), tiny_inference_config(), camera_source="synthetic",
+        enable_robot=False,
+    )
+    try:
+        summary = pipe.run_realtime(max_frames=3)
+    finally:
+        pipe.shutdown()
+    assert summary["frames"] == 3
+    assert summary["fps"] > 0
