@@ -54,6 +54,7 @@ class ConvMHCBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     monitor: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -80,6 +81,7 @@ class ConvMHCBlock(nn.Module):
                 dtype=self.dtype,
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
+                use_pallas=self.use_pallas,
                 name="mhc",
             )(y, deterministic)
         y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="expand")(y)
@@ -116,6 +118,7 @@ class HybridVisionBackbone(nn.Module):
     dtype: Dtype = jnp.bfloat16
     monitor: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -148,6 +151,7 @@ class HybridVisionBackbone(nn.Module):
                     dtype=self.dtype,
                     monitor=self.monitor,
                     precomputed_constraints=self.precomputed_constraints,
+                    use_pallas=self.use_pallas,
                     name=f"stage{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic)
             if stage_idx in scale_names:

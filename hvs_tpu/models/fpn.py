@@ -51,6 +51,7 @@ class FeaturePyramidNetwork(nn.Module):
     dtype: Dtype = jnp.bfloat16
     monitor: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -87,6 +88,7 @@ class FeaturePyramidNetwork(nn.Module):
                     dtype=self.dtype,
                     monitor=self.monitor,
                     precomputed_constraints=self.precomputed_constraints,
+                    use_pallas=self.use_pallas,
                     name=f"mhc{i}",
                 )(y, deterministic)
             outputs[name] = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,

@@ -88,6 +88,7 @@ class HybridVisionSystem(nn.Module):
     dtype: Dtype = jnp.bfloat16
     monitor: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -106,6 +107,7 @@ class HybridVisionSystem(nn.Module):
             dtype=self.dtype,
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
+            use_pallas=self.use_pallas,
             name="backbone",
         )(images, deterministic)
 
@@ -121,6 +123,7 @@ class HybridVisionSystem(nn.Module):
                 dtype=self.dtype,
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
+                use_pallas=self.use_pallas,
                 name="vit_encoder",
             )(scales["scale_large"], deterministic)
             scales = dict(scales)
@@ -132,6 +135,7 @@ class HybridVisionSystem(nn.Module):
             dtype=self.dtype,
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
+            use_pallas=self.use_pallas,
             name="fpn",
         )(scales, deterministic)
 
@@ -143,6 +147,7 @@ class HybridVisionSystem(nn.Module):
             tokens = RAGVisionKnowledge(
                 channels=c, sk_iters=self.sk_iters, dtype=self.dtype,
                 precomputed_constraints=self.precomputed_constraints, name="rag",
+                use_pallas=self.use_pallas,
             )(tokens, deterministic)
             fused = dict(fused)
             fused["fused_small"] = 0.5 * small + 0.5 * tokens.reshape(b, h, w, c)
@@ -155,6 +160,7 @@ class HybridVisionSystem(nn.Module):
                 dtype=self.dtype,
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
+                use_pallas=self.use_pallas,
                 name="detection_head",
             )(fused, deterministic)
             outputs["detection"] = det
@@ -188,6 +194,7 @@ class HybridVisionSystem(nn.Module):
             dtype=self.dtype,
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
+            use_pallas=self.use_pallas,
             name="mhc_features",
         )(feats, deterministic)
         outputs["features"] = feats

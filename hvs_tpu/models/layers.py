@@ -44,6 +44,14 @@ def _h_init(gain: float = 0.1):
     return nn.initializers.variance_scaling(gain, "fan_avg", "uniform")
 
 
+def _layernorm(x, scale, bias, eps: float = 1e-6):
+    """LayerNorm with fp32 statistics over the trailing axis."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
 def group_norm(channels: int, dtype) -> nn.GroupNorm:
     """GroupNorm with the largest group count <= 8 that divides ``channels``."""
     groups = 8
@@ -100,14 +108,27 @@ class ManifoldHyperConnection(nn.Module):
     monitor: bool = False
     monitor_eigs: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         d = self.dim
         hidden = self.hidden_dim or d * self.expansion_rate
+        mlp_hidden = hidden * self.mlp_ratio
         h_pre_raw = self.param("H_pre_raw", _h_init(), (d, hidden), jnp.float32)
         h_post_raw = self.param("H_post_raw", _h_init(), (hidden, d), jnp.float32)
         h_res_raw = self.param("H_res_raw", _h_init(), (d, d), jnp.float32)
+        # MLP + norm parameters are owned directly (not via nn.Dense) so the
+        # fused Pallas path can consume the same tree.
+        dense_init = nn.initializers.lecun_normal()
+        w1 = self.param("mlp_in_kernel", dense_init, (hidden, mlp_hidden), jnp.float32)
+        b1 = self.param("mlp_in_bias", nn.initializers.zeros, (mlp_hidden,), jnp.float32)
+        w2 = self.param("mlp_out_kernel", dense_init, (mlp_hidden, hidden), jnp.float32)
+        b2 = self.param("mlp_out_bias", nn.initializers.zeros, (hidden,), jnp.float32)
+        ln1_s = self.param("norm_pre_scale", nn.initializers.ones, (d,), jnp.float32)
+        ln1_b = self.param("norm_pre_bias", nn.initializers.zeros, (d,), jnp.float32)
+        ln2_s = self.param("norm_post_scale", nn.initializers.ones, (d,), jnp.float32)
+        ln2_b = self.param("norm_post_bias", nn.initializers.zeros, (d,), jnp.float32)
 
         if self.precomputed_constraints:
             # Serving fast path: the constrained matrices depend only on the
@@ -138,20 +159,40 @@ class ManifoldHyperConnection(nn.Module):
             h_res = h_res32.astype(self.dtype)
 
         x_in = x.astype(self.dtype)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm_pre")(x_in)
+
+        if (
+            self.use_pallas
+            and self.precomputed_constraints
+            and deterministic
+            and self.expansion_rate == 1
+            and self.mlp_ratio == 1
+            and d % 128 == 0
+            and d <= 512
+        ):
+            # Fused single-kernel path: whole block in VMEM, one HBM round-trip
+            # (hvs_tpu.ops.pallas.mhc_pallas; serve path is bandwidth-bound).
+            from ..ops.pallas.mhc_pallas import mhc_block_pallas
+
+            tokens = x_in.reshape(-1, d)
+            out = mhc_block_pallas(
+                tokens, h_pre, w1, b1, w2, b2, h_post, h_res,
+                ln1_s, ln1_b, ln2_s, ln2_b,
+            ).reshape(x_in.shape)
+            return out.astype(self.dtype)
+
+        y = _layernorm(x_in, ln1_s, ln1_b).astype(self.dtype)
         y = y @ h_pre
         # MLP in expanded space (reference: hidden -> 2*hidden -> hidden, GELU).
-        mlp_hidden = hidden * self.mlp_ratio
-        y = nn.Dense(mlp_hidden, dtype=self.dtype, name="mlp_in")(y)
+        y = (y @ w1.astype(self.dtype)) + b1.astype(self.dtype)
         y = nn.gelu(y)
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
-        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_out")(y)
+        y = (y @ w2.astype(self.dtype)) + b2.astype(self.dtype)
         y = nn.gelu(y)
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         y = y @ h_post
 
         out = x_in @ h_res + y
-        out = nn.LayerNorm(dtype=self.dtype, name="norm_post")(out)
+        out = _layernorm(out, ln2_s, ln2_b).astype(self.dtype)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
 
         if self.monitor:
@@ -211,6 +252,7 @@ class MultiHeadManifoldAttention(nn.Module):
     dropout_rate: float = 0.1
     dtype: Dtype = jnp.bfloat16
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -224,6 +266,7 @@ class MultiHeadManifoldAttention(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             precomputed_constraints=self.precomputed_constraints,
+            use_pallas=self.use_pallas,
             name=name,
         )
         q = mhc("mhc_q")(x, deterministic)
@@ -287,6 +330,7 @@ class MHCTransformerBlock(nn.Module):
     monitor: bool = False
     use_manifold_attention: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -299,6 +343,7 @@ class MHCTransformerBlock(nn.Module):
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
                 precomputed_constraints=self.precomputed_constraints,
+                use_pallas=self.use_pallas,
                 name="attn",
             )(nn.LayerNorm(dtype=self.dtype)(x), deterministic)
         else:
@@ -319,5 +364,6 @@ class MHCTransformerBlock(nn.Module):
             dtype=self.dtype,
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
+            use_pallas=self.use_pallas,
             name="mhc_ffn",
         )(x, deterministic)

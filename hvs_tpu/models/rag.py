@@ -76,6 +76,7 @@ class RAGVisionKnowledge(nn.Module):
     sk_iters: int = 20
     dtype: Dtype = jnp.bfloat16
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     def setup(self):
         _, emb = build_knowledge_base(self.knowledge_dim)
@@ -116,6 +117,7 @@ class RAGVisionKnowledge(nn.Module):
         fused = ManifoldHyperConnection(
             dim=c, expansion_rate=1, mlp_ratio=1, sk_iters=self.sk_iters,
             dtype=self.dtype, precomputed_constraints=self.precomputed_constraints,
+            use_pallas=self.use_pallas,
             name="mhc_fuse",
         )(fused, deterministic)
         out = x + fused

@@ -88,6 +88,7 @@ class VisionTransformerEncoder(nn.Module):
     monitor: bool = False
     use_manifold_attention: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, tokens: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -102,6 +103,7 @@ class VisionTransformerEncoder(nn.Module):
                 monitor=self.monitor,
                 use_manifold_attention=self.use_manifold_attention,
                 precomputed_constraints=self.precomputed_constraints,
+                use_pallas=self.use_pallas,
                 name=f"block{i}",
             )(x, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
@@ -174,6 +176,7 @@ class HybridVisionEncoder(nn.Module):
     monitor: bool = False
     use_manifold_attention: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, feat: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -201,6 +204,7 @@ class HybridVisionEncoder(nn.Module):
             monitor=self.monitor,
             use_manifold_attention=self.use_manifold_attention,
             precomputed_constraints=self.precomputed_constraints,
+            use_pallas=self.use_pallas,
             name="encoder",
         )(tokens, deterministic)
 
@@ -220,6 +224,7 @@ class HybridVisionEncoder(nn.Module):
             dtype=self.dtype,
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
+            use_pallas=self.use_pallas,
             name="mhc_fuse",
         )(fused, deterministic)
         return fused

@@ -68,6 +68,7 @@ class YOLOPredictionHead(nn.Module):
     dtype: Dtype = jnp.bfloat16
     monitor: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -89,6 +90,7 @@ class YOLOPredictionHead(nn.Module):
                 dtype=self.dtype,
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
+                use_pallas=self.use_pallas,
                 name="mhc",
             )(y, deterministic)
         per_anchor = 5 + self.num_classes
@@ -164,6 +166,7 @@ class YOLODetectionHead(nn.Module):
     dtype: Dtype = jnp.bfloat16
     monitor: bool = False
     precomputed_constraints: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -183,6 +186,7 @@ class YOLODetectionHead(nn.Module):
                 dtype=self.dtype,
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
+                use_pallas=self.use_pallas,
                 name=f"head_{key}",
             )(feat, deterministic)
             raw_outputs[key] = raw
