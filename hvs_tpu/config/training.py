@@ -148,4 +148,6 @@ class TrainingConfig(BaseConfig):
             early_stopping_patience=self.early_stopping_patience,
             checkpoint_dir=self.checkpoint_dir,
             max_boxes=self.dataset.max_boxes,
+            ema_decay=self.ema_decay,
+            backbone_lr_factor=self.optimizer.backbone_lr_factor,
         )

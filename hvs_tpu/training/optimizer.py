@@ -108,6 +108,11 @@ def periodic_sinkhorn_projection(
     return optax.GradientTransformation(init, update)
 
 
+def is_backbone_path(path) -> bool:
+    keys = [str(getattr(p, "key", p)) for p in path]
+    return bool(keys) and keys[0] == "backbone"
+
+
 def make_optimizer(
     learning_rate: optax.Schedule | float,
     weight_decay: float = 0.01,
@@ -119,30 +124,87 @@ def make_optimizer(
     project_every: int = 100,
     sk_iters: int = 20,
     use_projection: bool = True,
+    backbone_lr_factor: float = 1.0,
 ) -> optax.GradientTransformation:
     """The ManifoldAwareOptimizer as an optax chain
-    (reference: src/training/optimizer.py:31-266)."""
-    if callable(learning_rate):
-        mhc_lr = lambda step: learning_rate(step) * mhc_lr_factor
-    else:
-        mhc_lr = learning_rate * mhc_lr_factor
+    (reference: src/training/optimizer.py:31-266). ``backbone_lr_factor``
+    implements the reference's per-group LR (backbone 0.1x,
+    training_config.py:~750-770) as a third partition."""
 
-    regular = optax.chain(
-        optax.clip_by_global_norm(clip_regular),
-        optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay),
-    )
-    mhc_chain = [
-        optax.clip_by_global_norm(clip_mhc),
-        tangent_precondition(),
-        optax.sgd(mhc_lr, momentum=0.9),
-    ]
-    if use_projection:
-        mhc_chain.append(periodic_sinkhorn_projection(project_every, sk_iters))
-    mhc = optax.chain(*mhc_chain)
+    def scaled(factor):
+        if callable(learning_rate):
+            return lambda step: learning_rate(step) * factor
+        return learning_rate * factor
 
-    return optax.multi_transform(
-        {"regular": regular, "mhc": mhc}, mhc_partition
-    )
+    def adamw_chain(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(clip_regular),
+            optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+        )
+
+    def mhc_chain_for(lr):
+        chain = [
+            optax.clip_by_global_norm(clip_mhc),
+            tangent_precondition(),
+            optax.sgd(lr, momentum=0.9),
+        ]
+        if use_projection:
+            chain.append(periodic_sinkhorn_projection(project_every, sk_iters))
+        return optax.chain(*chain)
+
+    transforms = {
+        "regular": adamw_chain(scaled(1.0)),
+        "mhc": mhc_chain_for(scaled(mhc_lr_factor)),
+    }
+
+    def partition(params):
+        def label(path, _):
+            if is_mhc_path(path):
+                if backbone_lr_factor != 1.0 and is_backbone_path(path):
+                    return "mhc_backbone"
+                return "mhc"
+            if backbone_lr_factor != 1.0 and is_backbone_path(path):
+                return "backbone"
+            return "regular"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    if backbone_lr_factor != 1.0:
+        transforms["backbone"] = adamw_chain(scaled(backbone_lr_factor))
+        transforms["mhc_backbone"] = mhc_chain_for(
+            scaled(mhc_lr_factor * backbone_lr_factor)
+        )
+
+    return optax.multi_transform(transforms, partition)
+
+
+def ema_transform(decay: float) -> optax.GradientTransformation:
+    """Exponential moving average of parameters, kept in optimizer state
+    (reference: TrainingConfig.ema_decay). Retrieve with :func:`get_ema_params`."""
+    return optax.ema(decay, debias=True)
+
+
+class EMAState(NamedTuple):
+    ema: Any
+    count: jnp.ndarray
+
+
+def make_param_ema(decay: float):
+    """Standalone parameter EMA tracker: (init, update) pure functions."""
+
+    def init(params):
+        return EMAState(
+            ema=jax.tree_util.tree_map(jnp.asarray, params),
+            count=jnp.zeros([], jnp.int32),
+        )
+
+    def update(state: EMAState, params) -> EMAState:
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, params
+        )
+        return EMAState(ema=new_ema, count=state.count + 1)
+
+    return init, update
 
 
 def doubly_stochastic_projection(

@@ -52,9 +52,11 @@ from .stability import StabilityMonitor
 
 class TrainState(train_state.TrainState):
     """Train state with a host-adjustable LR multiplier (stability corrections
-    enter as data, not as recompiling constants)."""
+    enter as data, not as recompiling constants) and optional parameter EMA
+    (reference: TrainingConfig.ema_decay)."""
 
     lr_scale: jax.Array = struct.field(default_factory=lambda: jnp.ones([], jnp.float32))
+    ema_params: Any = None
 
 
 @dataclass
@@ -77,6 +79,8 @@ class TrainerConfig:
     early_stopping_patience: int = 10
     checkpoint_dir: str = "checkpoints"
     max_boxes: int = 64
+    ema_decay: float = 0.0  # 0 disables EMA
+    backbone_lr_factor: float = 1.0
 
 
 def global_norm(tree) -> jax.Array:
@@ -127,8 +131,15 @@ def make_train_step(
             lambda u: u * state.lr_scale.astype(u.dtype), updates
         )
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if config.ema_decay > 0.0 and new_ema is not None:
+            d = config.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, q: d * e + (1.0 - d) * q.astype(e.dtype), new_ema, new_params
+            )
         new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt_state
+            step=state.step + 1, params=new_params, opt_state=new_opt_state,
+            ema_params=new_ema,
         )
         metrics = dict(metrics)
         metrics["loss"] = loss
@@ -200,6 +211,7 @@ class ManifoldConstrainedTrainer:
             clip_mhc=config.clip_mhc,
             project_every=config.project_every,
             sk_iters=config.sk_iters,
+            backbone_lr_factor=config.backbone_lr_factor,
         )
         self._train_step = jax.jit(
             make_train_step(model, config), donate_argnums=(0,)
@@ -217,6 +229,12 @@ class ManifoldConstrainedTrainer:
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=self.tx,
             lr_scale=jnp.ones([], jnp.float32),
+            # Copy, don't alias: the step donates the state, and donating the
+            # same underlying buffer twice (params + ema) is an XLA error.
+            ema_params=(
+                jax.tree_util.tree_map(jnp.copy, params)
+                if self.config.ema_decay > 0.0 else None
+            ),
         )
         # Replicate state over the mesh.
         state = jax.device_put(state, replicated(self.mesh))

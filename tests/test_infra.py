@@ -1,0 +1,129 @@
+"""Infra config-lint tests (behavioral spec: reference
+src/tests/test_deployment.py:34-219,551-588 — Dockerfile structure, compose
+services, k8s schema, cross-config consistency)."""
+
+import os
+
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(*parts):
+    with open(os.path.join(REPO, *parts)) as f:
+        return f.read()
+
+
+# ---------------- Dockerfiles (reference :37-57) ----------------
+
+
+def test_inference_dockerfile_structure():
+    content = _read("docker", "Dockerfile.inference")
+    assert content.startswith("#") or "FROM" in content
+    assert "FROM python:" in content  # TPU image, not nvidia/cuda
+    assert "EXPOSE 8000 50051 9090" in content
+    assert "HEALTHCHECK" in content
+    assert "USER hvs" in content  # non-root
+    assert "jax[tpu]" in content
+
+
+def test_train_dockerfile_structure():
+    content = _read("docker", "Dockerfile.train")
+    assert "FROM python:" in content
+    assert "scripts/train.py" in content
+    assert "libnccl" not in content.lower()  # XLA collectives, no NCCL install
+
+
+def test_entrypoint_modes():
+    content = _read("docker", "entrypoint.sh")
+    for mode in ("api)", "grpc)", "train)", "healthcheck)"):
+        assert mode in content
+
+
+def test_compose_services():
+    compose = yaml.safe_load(_read("docker-compose.yml"))
+    services = compose["services"]
+    assert {"inference", "grpc", "prometheus"} <= set(services)
+    assert services["inference"]["healthcheck"]["test"][0] == "CMD"
+
+
+# ---------------- Kubernetes (reference :107-219) ----------------
+
+
+def test_k8s_deployment_schema():
+    dep = yaml.safe_load(_read("kubernetes", "deployment.yaml"))
+    assert dep["kind"] == "Deployment"
+    spec = dep["spec"]
+    assert spec["replicas"] == 3
+    assert spec["strategy"]["rollingUpdate"]["maxUnavailable"] == 0
+    pod = spec["template"]["spec"]
+    assert "gke-tpu" in str(pod["nodeSelector"])  # TPU nodes, not GPU plugin
+    container = pod["containers"][0]
+    assert container["resources"]["limits"]["google.com/tpu"] == "1"
+    probes = {p for p in ("readinessProbe", "livenessProbe") if p in container}
+    assert probes == {"readinessProbe", "livenessProbe"}
+    ann = spec["template"]["metadata"]["annotations"]
+    assert ann["prometheus.io/scrape"] == "true"
+
+
+def test_k8s_hpa_schema():
+    hpa = yaml.safe_load(_read("kubernetes", "hpa.yaml"))
+    assert hpa["kind"] == "HorizontalPodAutoscaler"
+    assert hpa["spec"]["minReplicas"] == 2
+    assert hpa["spec"]["maxReplicas"] == 10
+    metric_types = {m["type"] for m in hpa["spec"]["metrics"]}
+    assert "Resource" in metric_types
+
+
+def test_k8s_service_ports_match_deployment():
+    svc = yaml.safe_load(_read("kubernetes", "service.yaml"))
+    dep = yaml.safe_load(_read("kubernetes", "deployment.yaml"))
+    container_ports = {
+        p["containerPort"] for p in dep["spec"]["template"]["spec"]["containers"][0]["ports"]
+    }
+    for port in svc["spec"]["ports"]:
+        assert port["targetPort"] in container_ports
+
+
+def test_k8s_configmap_referenced():
+    cm = yaml.safe_load(_read("kubernetes", "configmap.yaml"))
+    dep = yaml.safe_load(_read("kubernetes", "deployment.yaml"))
+    env_from = dep["spec"]["template"]["spec"]["containers"][0]["envFrom"]
+    assert env_from[0]["configMapRef"]["name"] == cm["metadata"]["name"]
+
+
+# ---------------- Cross-config consistency (reference :551-588) -------------
+
+
+def test_registry_gates_match_reference_slas():
+    reg = yaml.safe_load(_read("configs", "model_registry.yaml"))
+    gates = reg["admission_gates"]
+    assert gates["min_map_50"] == 0.75
+    assert gates["max_latency_ms"] == 50
+    assert gates["min_precision"] == 0.8
+    assert gates["min_recall"] == 0.7
+
+
+def test_default_config_yamls_load():
+    from hvs_tpu.config import InferenceConfig, ModelConfig, TrainingConfig
+
+    t = TrainingConfig.load(os.path.join(REPO, "configs", "training.yaml"))
+    m = ModelConfig.load(os.path.join(REPO, "configs", "model.yaml"))
+    i = InferenceConfig.load(os.path.join(REPO, "configs", "inference.yaml"))
+    # Cross-consistency: serving latency target matches the registry gate.
+    reg = yaml.safe_load(_read("configs", "model_registry.yaml"))
+    assert i.performance.latency_target_ms <= reg["admission_gates"]["max_latency_ms"]
+    assert m.detection.num_classes == 80
+
+
+def test_robot_config_safety_consistency():
+    robot = yaml.safe_load(_read("configs", "robot_config.yaml"))
+    assert robot["safety"]["emergency_distance_m"] < robot["safety"]["safety_distance_m"]
+    assert robot["kinematics"]["max_linear_velocity_mps"] <= 1.0
+
+
+def test_proto_file_exists_and_has_service():
+    proto = _read("hvs_tpu", "deployment", "proto", "robot_vision.proto")
+    assert "service RobotVisionService" in proto
+    for rpc in ("DetectSingle", "DetectBatch", "StreamDetections", "HandleCommand"):
+        assert rpc in proto

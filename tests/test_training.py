@@ -266,3 +266,46 @@ def test_training_stability_metrics_score():
     assert 0.5 < score <= 1.0
     s = t.summary()
     assert "grad_norm" in s and "mean" in s["grad_norm"]
+
+
+def test_backbone_lr_factor_partition():
+    """Per-group LR (reference backbone 0.1x): backbone params get a separate
+    transform partition."""
+    from hvs_tpu.training.optimizer import make_optimizer
+
+    params = {
+        "backbone": {"conv": {"kernel": jnp.ones((4, 4))},
+                     "mhc": {"H_res_raw": jnp.ones((4, 4)) * 0.1}},
+        "head": {"kernel": jnp.ones((4, 4))},
+    }
+    opt = make_optimizer(1.0, backbone_lr_factor=0.1, use_projection=False,
+                         weight_decay=0.0)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    # AdamW normalizes magnitudes, so compare backbone vs head step sizes.
+    bb = float(jnp.abs(updates["backbone"]["conv"]["kernel"]).mean())
+    hd = float(jnp.abs(updates["head"]["kernel"]).mean())
+    assert bb < hd * 0.2, (bb, hd)
+
+
+@pytest.mark.slow
+def test_ema_tracking(trainer):
+    """EMA params follow training params (reference: TrainingConfig.ema_decay)."""
+    from hvs_tpu.training import ManifoldConstrainedTrainer, TrainerConfig
+    from hvs_tpu.models import HybridVisionSystem
+
+    model = HybridVisionSystem(**TINY)
+    cfg = TrainerConfig(num_classes=4, sk_iters=5, ema_decay=0.5, warmup_steps=1,
+                        total_steps=50)
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    t = ManifoldConstrainedTrainer(model, cfg, mesh=mesh)
+    t.init_state(synthetic_batch())
+    p0 = jax.tree_util.tree_leaves(t.state.params)[0].copy()
+    for i in range(3):
+        t.train_step(synthetic_batch(seed=i))
+    ema_leaf = jax.tree_util.tree_leaves(t.state.ema_params)[0]
+    param_leaf = jax.tree_util.tree_leaves(t.state.params)[0]
+    # EMA lags behind the live params but has moved from init.
+    assert not np.allclose(np.asarray(ema_leaf), np.asarray(param_leaf))
+    assert not np.allclose(np.asarray(ema_leaf), np.asarray(p0))
