@@ -202,6 +202,16 @@ class InferenceEngine:
     def _preprocess(self, image: np.ndarray) -> Tuple[np.ndarray, float, Tuple[int, int]]:
         if self.config.preprocessing.bgr_to_rgb and image.ndim == 3:
             image = image[..., ::-1]
+        # Native C++ letterbox when available (hvs_tpu/native); cv2 fallback.
+        from ..native import letterbox_u8_native
+
+        if image.dtype == np.uint8 and image.ndim == 3:
+            native = letterbox_u8_native(
+                np.ascontiguousarray(image), self.image_size,
+                self.config.preprocessing.pad_color,
+            )
+            if native is not None:
+                return native
         return letterbox(
             image, self.image_size, self.config.preprocessing.pad_color
         )

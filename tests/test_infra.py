@@ -127,3 +127,58 @@ def test_proto_file_exists_and_has_service():
     assert "service RobotVisionService" in proto
     for rpc in ("DetectSingle", "DetectBatch", "StreamDetections", "HandleCommand"):
         assert rpc in proto
+
+
+# ---------------- native runtime kernels ----------------
+
+
+def test_native_library_builds_and_matches_python():
+    """The C++ runtime kernels must agree with the Python reference paths."""
+    import numpy as np
+
+    from hvs_tpu.native import (
+        NATIVE_AVAILABLE,
+        greedy_nms_native,
+        iou_matrix_native,
+        letterbox_u8_native,
+    )
+
+    assert NATIVE_AVAILABLE, "g++ is present in this environment; build must work"
+
+    # letterbox geometry parity with the Python/cv2 path
+    from hvs_tpu.data.dataset import letterbox
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (50, 100, 3), np.uint8)
+    n_img, n_scale, n_pad = letterbox_u8_native(img, 64)
+    p_img, p_scale, p_pad = letterbox(img, 64)
+    assert n_scale == p_scale and n_pad == p_pad
+    assert n_img.shape == p_img.shape
+    # bilinear kernels differ at most by rounding
+    diff = np.abs(n_img.astype(np.int32) - p_img.astype(np.int32))
+    assert diff.mean() < 3.0, diff.mean()
+
+    # greedy NMS parity with the numpy oracle
+    from hvs_tpu.inference import NMSFilter
+
+    boxes = rng.uniform(0, 100, (50, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 30, (50, 2)).astype(np.float32)
+    scores = rng.uniform(0, 1, 50).astype(np.float32)
+    classes = np.zeros(50, np.int32)
+    keep_native = greedy_nms_native(boxes, scores, classes, 0.45, 0.1, 50,
+                                    class_aware=False)
+    keep_py = NMSFilter.greedy_numpy(boxes, scores, 0.45)
+    keep_py = keep_py[scores[keep_py] >= 0.1]
+    np.testing.assert_array_equal(np.sort(keep_native), np.sort(keep_py))
+
+    # IoU matrix parity
+    a, b = boxes[:10], boxes[10:30]
+    native = iou_matrix_native(a, b)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    ref = inter / (area_a[:, None] + area_b[None, :] - inter)
+    np.testing.assert_allclose(native, ref, atol=1e-5)
