@@ -125,12 +125,11 @@ def decode_predictions(
     Returns dict with normalized xyxy ``boxes`` [B, H, W, A, 4], per-class
     ``scores`` [B, H, W, A, C], ``objectness``, ``class_scores``, ``class_indices``.
     """
-    raw = raw.astype(jnp.float32)
+    box_raw = raw[..., :5].astype(jnp.float32)
     b, h, w, a, _ = raw.shape
-    xy = jax.nn.sigmoid(raw[..., 0:2])
-    wh = jnp.exp(jnp.clip(raw[..., 2:4], -wh_clip, wh_clip))
-    obj = jax.nn.sigmoid(raw[..., 4:5])
-    cls = jax.nn.sigmoid(raw[..., 5:])
+    xy = jax.nn.sigmoid(box_raw[..., 0:2])
+    wh = jnp.exp(jnp.clip(box_raw[..., 2:4], -wh_clip, wh_clip))
+    obj = jax.nn.sigmoid(box_raw[..., 4:5])
 
     gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -141,13 +140,24 @@ def decode_predictions(
     size = anc[..., 2:4] * wh
     half = size / 2
     boxes = jnp.concatenate([center - half, center + half], axis=-1)
-    scores = obj * cls
+
+    # Class confidence without materializing the fp32 [.., C] sigmoid product:
+    # sigmoid is monotone, so argmax(sigmoid(x)) == argmax(x) and
+    # max(sigmoid(x)) == sigmoid(max(x)) — the reductions run on the raw
+    # (bf16) logits and only per-anchor scalars hit fp32. The full per-class
+    # ``scores`` tensor is still provided for losses/API parity; XLA dead-code
+    # eliminates it on the serve path, which only consumes class_scores/indices.
+    cls_logits = raw[..., 5:]
+    max_logit = jnp.max(cls_logits, axis=-1).astype(jnp.float32)
+    class_scores = obj[..., 0] * jax.nn.sigmoid(max_logit)
+    class_indices = jnp.argmax(cls_logits, axis=-1)
+    scores = obj * jax.nn.sigmoid(cls_logits.astype(jnp.float32))
     return {
         "boxes": boxes,
         "scores": scores,
         "objectness": obj,
-        "class_scores": jnp.max(scores, axis=-1),
-        "class_indices": jnp.argmax(scores, axis=-1),
+        "class_scores": class_scores,
+        "class_indices": class_indices,
     }
 
 
@@ -175,6 +185,8 @@ class YOLODetectionHead(nn.Module):
         raw_outputs = {}
         decoded_boxes = []
         decoded_scores = []
+        decoded_cls_scores = []
+        decoded_cls_idx = []
         for scale_idx, key in enumerate(SCALE_ORDER):
             feat = features[key]
             raw = YOLOPredictionHead(
@@ -196,6 +208,10 @@ class YOLODetectionHead(nn.Module):
             b = raw.shape[0]
             decoded_boxes.append(dec["boxes"].reshape(b, -1, 4))
             decoded_scores.append(dec["scores"].reshape(b, -1, self.num_classes))
+            # Reduce per scale so the NMS path never materializes the big
+            # concatenated [B, N, C] product (HBM-bandwidth lever).
+            decoded_cls_scores.append(dec["class_scores"].reshape(b, -1))
+            decoded_cls_idx.append(dec["class_indices"].reshape(b, -1))
 
         boxes = jnp.concatenate(decoded_boxes, axis=1)  # [B, N, 4] normalized xyxy
         scores = jnp.concatenate(decoded_scores, axis=1)  # [B, N, C]
@@ -203,8 +219,8 @@ class YOLODetectionHead(nn.Module):
             "raw": raw_outputs,
             "boxes": boxes,
             "scores": scores,
-            "class_scores": jnp.max(scores, axis=-1),
-            "class_indices": jnp.argmax(scores, axis=-1).astype(jnp.int32),
+            "class_scores": jnp.concatenate(decoded_cls_scores, axis=1),
+            "class_indices": jnp.concatenate(decoded_cls_idx, axis=1).astype(jnp.int32),
         }
 
 
