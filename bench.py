@@ -55,14 +55,14 @@ def main() -> None:
         )
         return det.boxes, det.scores, det.classes
 
-    batch = 8
+    batch = 16  # throughput-optimal bucket (measured: 16 > 8 > 32 on v5e)
     images = jax.random.uniform(rng, (batch, 640, 640, 3), jnp.float32)
 
     # Warmup / compile.
     r = serve(images)
     jax.block_until_ready(r)
 
-    # Throughput at batch 8.
+    # Throughput at the optimal bucket.
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
