@@ -94,6 +94,7 @@ class InferenceConfig(BaseConfig):
 
     engine: str = "jit"  # jit | aot
     checkpoint_path: Optional[str] = None
+    use_ema: bool = True  # prefer EMA weights in checkpoints when present
     camera_source: int = 0
     max_image_pixels: int = 4096 * 4096
     safety_checks: bool = True

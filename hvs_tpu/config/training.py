@@ -68,6 +68,8 @@ class SchedulerConfig:
     min_lr_ratio: float = 0.01
     plateau_patience: int = 5
     plateau_factor: float = 0.5
+    plateau: bool = False          # reduce-on-plateau lr_scale controller
+    manifold_aware: bool = False   # stability-driven lr_scale controller
 
 
 @dataclass
@@ -111,6 +113,8 @@ class TrainingConfig(BaseConfig):
     early_stopping_patience: int = 10
     stability_check_every: int = 100
     checkpoint_every_epochs: int = 5
+    checkpoint_every_steps: int = 0
+    metrics_log: Optional[str] = None
     resume_from: Optional[str] = None
     wandb_project: Optional[str] = None
 
@@ -150,4 +154,10 @@ class TrainingConfig(BaseConfig):
             max_boxes=self.dataset.max_boxes,
             ema_decay=self.ema_decay,
             backbone_lr_factor=self.optimizer.backbone_lr_factor,
+            use_plateau=self.scheduler.plateau,
+            plateau_patience=self.scheduler.plateau_patience,
+            plateau_factor=self.scheduler.plateau_factor,
+            use_manifold_schedule=self.scheduler.manifold_aware,
+            metrics_log=self.metrics_log,
+            checkpoint_every_steps=self.checkpoint_every_steps,
         )

@@ -35,6 +35,7 @@ class COCODataset(BaseVisionDataset):
         max_samples: Optional[int] = None,
         skip_empty: bool = True,
         normalize: bool = True,
+        cache_images: bool = False,
     ):
         with open(annotation_file) as f:
             coco = json.load(f)
@@ -92,6 +93,7 @@ class COCODataset(BaseVisionDataset):
             max_samples=max_samples,
             skip_empty=skip_empty,
             normalize=normalize,
+            cache_images=cache_images,
         )
 
 
@@ -109,6 +111,7 @@ class COCODataModule:
         val_split: str = "val2017",
         max_samples: Optional[int] = None,
         augmentation_config=None,
+        cache_images: bool = False,
     ):
         self.root = root
         self.image_size = image_size
@@ -119,6 +122,7 @@ class COCODataModule:
         self.val_split = val_split
         self.max_samples = max_samples
         self.augmentation_config = augmentation_config
+        self.cache_images = cache_images
         self.train_dataset: Optional[COCODataset] = None
         self.val_dataset: Optional[COCODataset] = None
 
@@ -136,6 +140,7 @@ class COCODataModule:
             max_boxes=self.max_boxes,
             transform=train_tf,
             max_samples=self.max_samples,
+            cache_images=self.cache_images,
         )
         self.val_dataset = COCODataset(
             root=os.path.join(self.root, self.val_split),
@@ -144,6 +149,7 @@ class COCODataModule:
             max_boxes=self.max_boxes,
             transform=None,
             max_samples=self.max_samples,
+            cache_images=self.cache_images,
         )
 
     def train_dataloader(self) -> MHCDataLoader:

@@ -80,6 +80,7 @@ class BaseVisionDataset:
         normalize: bool = True,
         max_samples: Optional[int] = None,
         skip_empty: bool = False,
+        cache_images: bool = False,
     ):
         assert task in ("detection", "classification", "segmentation", "multi_task")
         self.root = root
@@ -89,6 +90,11 @@ class BaseVisionDataset:
         self.transform = transform
         self.class_names = list(class_names)
         self.normalize = normalize
+        # Decoded-image RAM cache (reference: lru_cache streaming mode,
+        # dataset.py:64-67). On a 1-core host JPEG decode competes with device
+        # dispatch; caching removes it after the first epoch.
+        self.cache_images = cache_images
+        self._image_cache: Dict[int, np.ndarray] = {}
 
         with open(annotation_file) as f:
             data = json.load(f)
@@ -113,7 +119,12 @@ class BaseVisionDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         info = self.images[idx]
-        image = load_image(self._resolve_path(info["file_name"]))
+        if self.cache_images and idx in self._image_cache:
+            image = self._image_cache[idx]
+        else:
+            image = load_image(self._resolve_path(info["file_name"]))
+            if self.cache_images:
+                self._image_cache[idx] = image
         anns = self.annotations.get(info["id"], [])
 
         boxes = np.zeros((len(anns), 4), np.float32)  # pixel xywh

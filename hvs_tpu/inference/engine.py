@@ -134,6 +134,10 @@ class InferenceEngine:
             with ocp.PyTreeCheckpointer() as ckptr:
                 restored = ckptr.restore(os.path.abspath(path))
             params = restored.get("params", restored)
+            # Serve with EMA weights when the trainer maintained them
+            # (reference: TrainingConfig.ema_decay; eval/serve use the EMA).
+            if self.config.use_ema and isinstance(restored, dict):
+                params = restored.get("ema_params", params)
             return {"params": params}
         from flax import serialization
 

@@ -81,6 +81,15 @@ class TrainerConfig:
     max_boxes: int = 64
     ema_decay: float = 0.0  # 0 disables EMA
     backbone_lr_factor: float = 1.0
+    # Adaptive LR controllers (reference: scheduler.py:137-449). Both emit a
+    # multiplicative lr_scale consumed by the train state as data.
+    use_plateau: bool = False
+    plateau_patience: int = 5
+    plateau_factor: float = 0.5
+    use_manifold_schedule: bool = False
+    # Long-run instrumentation: per-step JSONL metrics + step-based checkpoints.
+    metrics_log: Optional[str] = None
+    checkpoint_every_steps: int = 0  # 0 disables
 
 
 def global_norm(tree) -> jax.Array:
@@ -165,14 +174,14 @@ def make_train_step(
 
 
 def make_eval_step(model, config: TrainerConfig) -> Callable:
-    def eval_step(state: TrainState, batch: Dict[str, jax.Array]):
+    def eval_step(params, batch: Dict[str, jax.Array]):
         images = batch["images"]
         h, w = images.shape[1], images.shape[2]
         grids = [(h // 8, w // 8), (h // 16, w // 16), (h // 32, w // 32)]
         targets = build_targets(
             batch["boxes"], batch["labels"], batch["box_mask"], grids, config.num_classes
         )
-        outputs = model.apply({"params": state.params}, images, task="detection")
+        outputs = model.apply({"params": params}, images, task="detection")
         loss, metrics = mhc_yolo_loss(
             outputs["detection"]["raw"], targets, config.num_classes
         )
@@ -200,6 +209,25 @@ class ManifoldConstrainedTrainer:
         self.history: Dict[str, list] = {"train_loss": [], "val_loss": []}
         self.best_val_loss = float("inf")
         self.epochs_without_improvement = 0
+        # lr_scale = stability corrections x plateau x manifold-aware; each
+        # factor is tracked separately so controllers compose without fighting.
+        self._stab_scale = 1.0
+        from .schedule import ManifoldAwareScheduler, PlateauSchedulerWithReset
+
+        self.plateau = (
+            PlateauSchedulerWithReset(
+                factor=config.plateau_factor, patience=config.plateau_patience
+            )
+            if config.use_plateau else None
+        )
+        self.manifold_sched = (
+            ManifoldAwareScheduler() if config.use_manifold_schedule else None
+        )
+        # Max-since-last-check window: spikes between periodic checks must not
+        # slip through (a 500-step run once recorded grad_norm 210 > the 100.0
+        # explosion threshold with zero alerts because checks ran every 100).
+        self._window_max: Dict[str, float] = {}
+        self._metrics_fh = None
         self.schedule = cosine_annealing_with_warmup(
             config.learning_rate, config.warmup_steps, config.total_steps
         )
@@ -250,37 +278,94 @@ class ManifoldConstrainedTrainer:
     # ------------------------------------------------------------------
     def train_epoch(self, loader: Iterable, epoch: int) -> Dict[str, float]:
         """One epoch with periodic stability checks + auto-corrections
-        (reference: mhc_trainer.py:141-221,404-420)."""
+        (reference: mhc_trainer.py:141-221,404-420).
+
+        Metrics are pulled to host every step (they are needed for the epoch
+        aggregate anyway); the stability check consumes the elementwise MAX
+        over the window since the last check, so a one-step spike cannot slip
+        between periodic samples.
+        """
         agg: Dict[str, float] = {}
         n = 0
         for batch in loader:
             metrics = self.train_step(batch)
+            host = {k: float(v) for k, v in metrics.items()}
+            for k in ("grad_norm", "loss", "ds_error_max", "signal_ratio_mean"):
+                if k in host and np.isfinite(host[k]):
+                    self._window_max[k] = max(self._window_max.get(k, 0.0), host[k])
             step = int(self.state.step)
+            self._log_step_metrics(step, host)
             if step % self.config.stability_check_every == 0:
-                host = {k: float(v) for k, v in metrics.items()}
-                report = self.monitor.check_stability(host, params=self.state.params)
+                check = dict(host)
+                # Substitute window maxima for the spike-prone scalars.
+                for k in ("grad_norm", "ds_error_max", "signal_ratio_mean"):
+                    if k in self._window_max:
+                        check[k] = self._window_max[k]
+                report = self.monitor.check_stability(check, params=self.state.params)
+                self._window_max = {}
+                if self.manifold_sched is not None:
+                    self.manifold_sched.step(check)
+                    self._sync_lr_scale()
                 if not report["is_stable"]:
                     self._apply_stability_corrections(report)
+            if (
+                self.config.checkpoint_every_steps
+                and step % self.config.checkpoint_every_steps == 0
+            ):
+                self.save_checkpoint(f"step_{step}")
             n += 1
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            for k, v in host.items():
+                agg[k] = agg.get(k, 0.0) + v
         return {k: v / max(n, 1) for k, v in agg.items()}
+
+    def _log_step_metrics(self, step: int, host: Dict[str, float]) -> None:
+        if self.config.metrics_log is None:
+            return
+        import json
+
+        if self._metrics_fh is None:
+            self._metrics_fh = open(self.config.metrics_log, "a", buffering=1)
+        row = {"step": step, "time": time.time(),
+               "lr_scale": float(self.state.lr_scale)}
+        for k in ("loss", "grad_norm", "detection_loss", "ds_error_max",
+                  "signal_ratio_mean", "reg_loss"):
+            if k in host:
+                row[k] = host[k]
+        self._metrics_fh.write(json.dumps(row) + "\n")
+
+    def _sync_lr_scale(self) -> None:
+        scale = self._stab_scale
+        if self.plateau is not None:
+            scale *= self.plateau.scale
+        if self.manifold_sched is not None:
+            scale *= self.manifold_sched.scale
+        self.state = self.state.replace(
+            lr_scale=jnp.asarray(max(scale, 1e-3), jnp.float32)
+        )
 
     def _apply_stability_corrections(self, report: Dict[str, Any]) -> None:
         """Halve the LR multiplier on instability (reference: mhc_trainer.py:404-420;
         the reference also bumps Sinkhorn iterations, which here is a static
         compile-time constant — the LR correction is the load-bearing one)."""
-        new_scale = jnp.maximum(self.state.lr_scale * 0.5, 1e-3)
-        self.state = self.state.replace(lr_scale=new_scale)
-        self.monitor.record_correction(float(new_scale))
+        self._stab_scale = max(self._stab_scale * 0.5, 1e-3)
+        self._sync_lr_scale()
+        self.monitor.record_correction(float(self.state.lr_scale))
 
     # ------------------------------------------------------------------
-    def validate(self, loader: Iterable) -> Dict[str, float]:
+    def eval_params(self, use_ema: bool = True):
+        """EMA weights when maintained, else raw params (reference: EMA eval,
+        TrainingConfig.ema_decay)."""
+        if use_ema and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
+    def validate(self, loader: Iterable, use_ema: bool = True) -> Dict[str, float]:
+        params = self.eval_params(use_ema)
         agg: Dict[str, float] = {}
         n = 0
         for batch in loader:
             batch = shard_batch(self.mesh, batch)
-            metrics = self._eval_step(self.state, batch)
+            metrics = self._eval_step(params, batch)
             n += 1
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
@@ -307,6 +392,11 @@ class ManifoldConstrainedTrainer:
                 val_metrics = self.validate(val_loader_fn())
                 self.history["val_loss"].append(val_metrics["val_loss"])
                 log.update(val_metrics)
+                if self.plateau is not None:
+                    # Reduce-on-plateau drives the LR multiplier
+                    # (reference: PlateauSchedulerWithReset, scheduler.py:137-304).
+                    self.plateau.step(val_metrics["val_loss"])
+                    self._sync_lr_scale()
                 if val_metrics["val_loss"] < self.best_val_loss:
                     self.best_val_loss = val_metrics["val_loss"]
                     self.epochs_without_improvement = 0
@@ -332,6 +422,8 @@ class ManifoldConstrainedTrainer:
             "step": self.state.step,
             "lr_scale": self.state.lr_scale,
         }
+        if self.state.ema_params is not None:
+            ckpt["ema_params"] = self.state.ema_params
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, ckpt, force=True)
         # History saved alongside as JSON (host-side metadata).
@@ -355,6 +447,8 @@ class ManifoldConstrainedTrainer:
             "step": self.state.step,
             "lr_scale": self.state.lr_scale,
         }
+        if self.state.ema_params is not None:
+            template["ema_params"] = self.state.ema_params
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(path, item=template)
         self.state = self.state.replace(
@@ -362,6 +456,7 @@ class ManifoldConstrainedTrainer:
             opt_state=restored["opt_state"],
             step=restored["step"],
             lr_scale=restored["lr_scale"],
+            ema_params=restored.get("ema_params", self.state.ema_params),
         )
         hist_path = path + ".history.json"
         if os.path.exists(hist_path):

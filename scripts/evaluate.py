@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--image-size", type=int, default=416)
     p.add_argument("--output", default="evaluation_results.json")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="model class count (default: from dataset categories)")
+    p.add_argument("--no-ema", action="store_true",
+                   help="evaluate raw params even if the checkpoint has EMA")
+    p.add_argument("--score-threshold", type=float, default=0.05)
     p.add_argument("--synthetic", action="store_true",
                    help="self-check on synthetic data: feeds ground truth as "
                         "predictions, must yield mAP=1.0")
@@ -75,7 +80,8 @@ def main():
     mcfg = ModelConfig()
     icfg = InferenceConfig()
     icfg.preprocessing.image_size = args.image_size
-    icfg.postprocessing.score_threshold = 0.05  # low threshold for AP sweep
+    icfg.postprocessing.score_threshold = args.score_threshold  # low for AP sweep
+    icfg.use_ema = not args.no_ema
     if args.checkpoint:
         icfg.checkpoint_path = args.checkpoint
     if args.tiny:
@@ -89,7 +95,6 @@ def main():
         mcfg.mhc.sinkhorn_iterations = 5
         icfg.preprocessing.image_size = 64
 
-    engine = InferenceEngine(mcfg, icfg)
     dataset = COCODataset(
         root=os.path.join(args.data_root, args.split),
         annotation_file=os.path.join(
@@ -99,6 +104,11 @@ def main():
         max_samples=args.max_images,
         normalize=False,
     )
+    mcfg.detection.num_classes = (
+        args.num_classes if args.num_classes is not None
+        else len(dataset.class_names)
+    )
+    engine = InferenceEngine(mcfg, icfg)
     evaluator = DetectionEvaluator(num_classes=len(dataset.class_names))
 
     from hvs_tpu.data.dataset import load_image

@@ -36,6 +36,10 @@ def parse_args():
                    help="steps per epoch in --synthetic mode")
     p.add_argument("--image-size", type=int, default=None)
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke/CI)")
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="override class count (default: from dataset)")
+    p.add_argument("--cache-images", action="store_true",
+                   help="cache decoded images in RAM (small datasets)")
     p.add_argument("--n-model", type=int, default=1, help="tensor-parallel axis size")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
@@ -115,15 +119,9 @@ def main():
     mesh = make_mesh(n_model=args.n_model)
     log.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
 
-    model = mcfg.build_model()
-    trainer = ManifoldConstrainedTrainer(
-        model,
-        tcfg.trainer_config(num_classes=mcfg.detection.num_classes),
-        mesh=mesh,
-        rng=jax.random.PRNGKey(args.seed),
-    )
-
     if args.synthetic:
+        if args.num_classes is not None:
+            mcfg.detection.num_classes = args.num_classes
         train_loader_fn = make_synthetic_loader(
             tcfg.batch_size, tcfg.dataset.image_size, args.steps,
             mcfg.detection.num_classes, tcfg.dataset.max_boxes,
@@ -145,10 +143,28 @@ def main():
             val_split=tcfg.dataset.val_split,
             max_samples=tcfg.dataset.max_samples,
             augmentation_config=tcfg.augmentation,
+            cache_images=args.cache_images,
         )
         dm.setup()
         train_loader_fn = dm.train_dataloader
         val_loader_fn = dm.val_dataloader
+        # Class count follows the dataset (e.g. 8 for the shapes benchmark).
+        mcfg.detection.num_classes = (
+            args.num_classes
+            if args.num_classes is not None
+            else len(dm.train_dataset.class_names)
+        )
+        log.info("dataset: %d train / %d val images, %d classes",
+                 len(dm.train_dataset), len(dm.val_dataset),
+                 mcfg.detection.num_classes)
+
+    model = mcfg.build_model()
+    trainer = ManifoldConstrainedTrainer(
+        model,
+        tcfg.trainer_config(num_classes=mcfg.detection.num_classes),
+        mesh=mesh,
+        rng=jax.random.PRNGKey(args.seed),
+    )
 
     trainer.init_state(next(iter(train_loader_fn())))
     log.info("initialized %d-param model",
