@@ -80,7 +80,10 @@ class PerformanceConfig:
     """Serving performance (reference: inference_config.py:380-406 —
     dynamic batching knobs, rebuilt as fixed-shape buckets)."""
 
-    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+    # 16 is the measured throughput-optimal bucket on v5e (bench.py sweep:
+    # 774 FPS at 16 vs ~440 at 8); keep the small buckets for latency-bound
+    # single requests.
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
     max_queue_delay_ms: float = 10.0
     warmup_iterations: int = 3
     latency_target_ms: float = 50.0

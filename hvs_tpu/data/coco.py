@@ -36,6 +36,7 @@ class COCODataset(BaseVisionDataset):
         skip_empty: bool = True,
         normalize: bool = True,
         cache_images: bool = False,
+        as_uint8: bool = False,
     ):
         with open(annotation_file) as f:
             coco = json.load(f)
@@ -94,6 +95,7 @@ class COCODataset(BaseVisionDataset):
             skip_empty=skip_empty,
             normalize=normalize,
             cache_images=cache_images,
+            as_uint8=as_uint8,
         )
 
 
@@ -112,6 +114,7 @@ class COCODataModule:
         max_samples: Optional[int] = None,
         augmentation_config=None,
         cache_images: bool = False,
+        as_uint8: bool = True,
     ):
         self.root = root
         self.image_size = image_size
@@ -123,6 +126,7 @@ class COCODataModule:
         self.max_samples = max_samples
         self.augmentation_config = augmentation_config
         self.cache_images = cache_images
+        self.as_uint8 = as_uint8
         self.train_dataset: Optional[COCODataset] = None
         self.val_dataset: Optional[COCODataset] = None
 
@@ -141,6 +145,7 @@ class COCODataModule:
             transform=train_tf,
             max_samples=self.max_samples,
             cache_images=self.cache_images,
+            as_uint8=self.as_uint8,
         )
         self.val_dataset = COCODataset(
             root=os.path.join(self.root, self.val_split),
@@ -150,6 +155,7 @@ class COCODataModule:
             transform=None,
             max_samples=self.max_samples,
             cache_images=self.cache_images,
+            as_uint8=self.as_uint8,
         )
 
     def train_dataloader(self) -> MHCDataLoader:

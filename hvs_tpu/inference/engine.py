@@ -106,7 +106,15 @@ class InferenceEngine:
             )
         self.variables = self._prepare_variables(variables)
 
+        # Serve-fn cache. Weights enter the jitted functions as ARGUMENTS
+        # (data), not closure constants, so a hot swap (reload) is a single
+        # atomic reference assignment — no recompile, no stale-weight window.
+        # The lock only guards cache (re)builds when jit-baked config values
+        # change (thresholds), racing the micro-batcher thread.
+        import threading
+
         self._serve_fns: Dict[int, Any] = {}
+        self._serve_lock = threading.RLock()
         self._batcher: Optional[_MicroBatcher] = None
         self._stability_report: Optional[Dict[str, Any]] = None
 
@@ -148,43 +156,68 @@ class InferenceEngine:
 
     def reload(self, variables: Dict[str, Any]) -> None:
         """Hot model swap (backs the API's POST /models/switch,
-        reference api_server.py:460-523)."""
+        reference api_server.py:460-523).
+
+        Weights are jit arguments, so this is one atomic reference swap:
+        in-flight requests finish on the old weights, the next request sees
+        the new ones, and the compiled programs are reused as long as the
+        parameter tree structure matches (retrace happens automatically if
+        the new model differs structurally).
+        """
         self.variables = self._prepare_variables(variables)
-        self._serve_fns.clear()
+
+    def rebuild_serve_fns(self) -> None:
+        """Invalidate the bucket cache after config changes whose values are
+        baked into the compiled programs (thresholds, NMS method). Atomic dict
+        swap: a concurrent ``infer_batch`` keeps the fn it already grabbed."""
+        with self._serve_lock:
+            self._serve_fns = {}
 
     # ------------------------------------------------------------------
     def _serve_fn(self, batch: int):
-        """Build/cache the jitted end-to-end function for one batch bucket."""
-        if batch in self._serve_fns:
-            return self._serve_fns[batch]
-        import jax
-        import jax.numpy as jnp
+        """Build/cache the jitted end-to-end function for one batch bucket.
 
-        from ..models.yolo_head import postprocess_detections
+        The returned function takes ``(variables, images_u8)`` — weights are
+        traced as arguments so hot swaps never serve half-updated state and
+        never recompile.
+        """
+        fns = self._serve_fns  # local snapshot: safe vs concurrent swap
+        fn = fns.get(batch)
+        if fn is not None:
+            return fn
+        with self._serve_lock:
+            fns = self._serve_fns
+            if batch in fns:
+                return fns[batch]
+            import jax
+            import jax.numpy as jnp
 
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-        std = jnp.asarray(IMAGENET_STD, jnp.float32)
-        pp = self.config.postprocessing
-        normalize = self.config.preprocessing.normalize
+            from ..models.yolo_head import postprocess_detections
 
-        def serve(images_u8):
-            x = images_u8.astype(jnp.float32) / 255.0
-            if normalize:
-                x = (x - mean) / std
-            out = self.model.apply(self.variables, x, task="detection")
-            det = postprocess_detections(
-                out["detection"],
-                score_threshold=pp.score_threshold,
-                iou_threshold=pp.iou_threshold,
-                max_detections=pp.max_detections,
-                pre_nms_top_k=pp.pre_nms_top_k,
-                nms_method=pp.nms_method,
-            )
-            return det.boxes, det.scores, det.classes, det.num_valid
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            pp = self.config.postprocessing
+            normalize = self.config.preprocessing.normalize
+            model = self.model
 
-        fn = jax.jit(serve)
-        self._serve_fns[batch] = fn
-        return fn
+            def serve(variables, images_u8):
+                x = images_u8.astype(jnp.float32) / 255.0
+                if normalize:
+                    x = (x - mean) / std
+                out = model.apply(variables, x, task="detection")
+                det = postprocess_detections(
+                    out["detection"],
+                    score_threshold=pp.score_threshold,
+                    iou_threshold=pp.iou_threshold,
+                    max_detections=pp.max_detections,
+                    pre_nms_top_k=pp.pre_nms_top_k,
+                    nms_method=pp.nms_method,
+                )
+                return det.boxes, det.scores, det.classes, det.num_valid
+
+            fn = jax.jit(serve)
+            fns[batch] = fn
+            return fn
 
     def _bucket_for(self, n: int) -> int:
         for b in self.config.performance.batch_buckets:
@@ -199,7 +232,7 @@ class InferenceEngine:
 
         for b in self.config.performance.batch_buckets:
             x = np.zeros((b, self.image_size, self.image_size, 3), np.uint8)
-            r = self._serve_fn(b)(x)
+            r = self._serve_fn(b)(self.variables, x)
             jax.block_until_ready(r)
 
     # ------------------------------------------------------------------
@@ -269,7 +302,10 @@ class InferenceEngine:
             padded, scale, pad = self._preprocess(np.asarray(img))
             batch[i] = padded
             meta.append((scale, pad, img.shape[:2]))
-        boxes, scores, classes, num_valid = self._serve_fn(bucket)(batch)
+        # One snapshot per call: a concurrent reload() cannot mix weights
+        # between the fn lookup and the invocation.
+        variables = self.variables
+        boxes, scores, classes, num_valid = self._serve_fn(bucket)(variables, batch)
         jax.block_until_ready(boxes)
         latency = time.perf_counter() - t0
         self.metrics.record(latency, batch_size=n)

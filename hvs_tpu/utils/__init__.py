@@ -10,6 +10,7 @@ from .profiler import (
 )
 
 __all__ = [
+    "enable_compile_cache",
     "StructuredLogger",
     "setup_logger",
     "DetectionEvaluator",
@@ -20,3 +21,16 @@ __all__ = [
     "ResourceMonitor",
     "ProfileReport",
 ]
+
+def enable_compile_cache(path: str = ".jax_cache") -> None:
+    """Enable JAX's persistent compilation cache (saves minutes per process
+    on this host; every entry point should call it before the first jit)."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # cache is an optimization only

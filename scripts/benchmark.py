@@ -81,15 +81,16 @@ class BenchmarkRunner:
         sweep = {}
         for b in self.args.batches:
             fn = self.engine._serve_fn(b)
+            v = self.engine.variables
             x = np.random.default_rng(0).integers(
                 0, 255, (b, self.image_size, self.image_size, 3), np.uint8
             )
-            r = fn(x)
+            r = fn(v, x)
             jax.block_until_ready(r)
             mem_before = self._device_mem_mb()
             t0 = time.perf_counter()
             for _ in range(self.args.iters):
-                r = fn(x)
+                r = fn(v, x)
             jax.block_until_ready(r)
             dt = (time.perf_counter() - t0) / self.args.iters
             sweep[b] = {
@@ -109,16 +110,17 @@ class BenchmarkRunner:
 
         b = max(self.args.batches)
         fn = self.engine._serve_fn(b)
+        v = self.engine.variables
         x = np.random.default_rng(1).integers(
             0, 255, (b, self.image_size, self.image_size, 3), np.uint8
         )
-        jax.block_until_ready(fn(x))
+        jax.block_until_ready(fn(v, x))
         monitor = ResourceMonitor(interval_s=0.25)
         monitor.start()
         frames = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < self.args.sustained_s:
-            r = fn(x)
+            r = fn(v, x)
             frames += b
         jax.block_until_ready(r)
         elapsed = time.perf_counter() - t0
@@ -190,6 +192,9 @@ class BenchmarkRunner:
 
 
 def main():
+    from hvs_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     runner = BenchmarkRunner(args)
     sweep = runner.throughput_sweep()

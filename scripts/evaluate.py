@@ -73,6 +73,9 @@ def main():
         return
 
     from hvs_tpu.config import InferenceConfig, ModelConfig
+    from hvs_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from hvs_tpu.data import COCODataset
     from hvs_tpu.inference import InferenceEngine
     from hvs_tpu.utils import DetectionEvaluator

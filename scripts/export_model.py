@@ -35,6 +35,9 @@ def parse_args():
 
 
 def main():
+    from hvs_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     from hvs_tpu.config import InferenceConfig, ModelConfig
     from hvs_tpu.deployment import ModelExporter

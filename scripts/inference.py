@@ -116,6 +116,9 @@ def _make_pipeline(engine, source):
 
 
 def main():
+    from hvs_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     engine = build_engine(args)
     engine.warmup()  # compile buckets before any timed frame

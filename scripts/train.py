@@ -77,7 +77,9 @@ def main():
     from hvs_tpu.config import ModelConfig, TrainingConfig, load_config
     from hvs_tpu.parallel import initialize_distributed, make_mesh
     from hvs_tpu.training import ManifoldConstrainedTrainer
-    from hvs_tpu.utils import setup_logger
+    from hvs_tpu.utils import enable_compile_cache, setup_logger
+
+    enable_compile_cache()
 
     tcfg = (
         load_config(args.config, "training") if args.config else TrainingConfig()

@@ -24,6 +24,30 @@ assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU me
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
 
 
+# ---------------------------------------------------------------------------
+# Fast lane: anything that compiles a model (even tiny flax inits dispatch
+# thousands of ops on this 1-core host) is marked slow automatically, keyed by
+# the expensive fixtures, plus explicit module marks. CI lanes:
+#   pytest -m "not slow"   fast lane (<2 min)
+#   pytest                 everything
+_SLOW_FIXTURES = {
+    "trainer", "engine", "swap_engine", "ema_trainer", "pipeline",
+    "api_server", "grpc_server", "model", "variables",
+}
+_SLOW_MODULES = {
+    "test_models", "test_training", "test_training_round2", "test_inference",
+    "test_deployment", "test_pallas", "test_hot_swap", "test_multihost",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if _SLOW_FIXTURES & set(getattr(item, "fixturenames", ())) or (
+            item.module.__name__ in _SLOW_MODULES
+        ):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -1,0 +1,122 @@
+"""Multi-host execution: 2-process jax.distributed CPU integration test.
+
+Exercises the path the reference exercises with multi-proc DDP
+(reference: scripts/train.py:34-49 — env:// NCCL process group):
+``initialize_distributed`` rendezvous + ``make_array_from_process_local_data``
+via ``shard_batch``, asserting the 2-process global gradient matches the
+single-process gradient on the same global batch.
+
+Runs as subprocesses (like torchrun would) so each process owns distinct
+devices; marked slow — the distributed CPU backend takes ~a minute to set up.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import json, os, sys
+import numpy as np
+
+n_proc = int(sys.argv[1])
+pid = int(sys.argv[2])
+out_path = sys.argv[3]
+port = sys.argv[4]
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from hvs_tpu.parallel import initialize_distributed, make_mesh, shard_batch
+from hvs_tpu.parallel.mesh import replicated
+
+initialize_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=n_proc, process_id=pid
+)
+assert jax.process_count() == n_proc, jax.process_count()
+
+import jax.numpy as jnp
+
+mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+
+# Tiny deterministic "model": loss = mean((x @ w - y)^2), grad wrt w.
+rng = np.random.default_rng(0)
+w = jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))
+global_x = rng.standard_normal((8, 8)).astype(np.float32)
+global_y = rng.standard_normal((8, 4)).astype(np.float32)
+
+# Each process feeds ONLY its local slice (DistributedSampler replacement);
+# shard_batch assembles the global array via make_array_from_process_local_data.
+per = global_x.shape[0] // n_proc
+local = {
+    "x": global_x[pid * per : (pid + 1) * per],
+    "y": global_y[pid * per : (pid + 1) * per],
+}
+batch = shard_batch(mesh, local)
+w = jax.device_put(w, replicated(mesh))
+
+def loss_fn(w, x, y):
+    return jnp.mean((x @ w - y) ** 2)
+
+grad = jax.jit(jax.grad(loss_fn))(w, batch["x"], batch["y"])
+# Gather the (replicated) gradient to host on process 0.
+from jax.experimental import multihost_utils
+grad_host = multihost_utils.process_allgather(grad)
+if pid == 0:
+    with open(out_path, "w") as f:
+        json.dump({"grad": np.asarray(grad_host)[0].tolist()
+                   if np.asarray(grad_host).ndim == 3
+                   else np.asarray(grad_host).tolist()}, f)
+print("WORKER_OK", pid)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_distributed_grad_matches_single_process(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+    out_path = tmp_path / "grad.json"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), "2", str(pid), str(out_path), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+        assert p.returncode == 0, out
+    assert all("WORKER_OK" in o for o in outs), outs
+
+    dist_grad = np.asarray(json.load(open(out_path))["grad"], np.float32)
+
+    # Single-process oracle on the same global batch.
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((8, 4)).astype(np.float32)
+    x = rng.standard_normal((8, 8)).astype(np.float32)
+    y = rng.standard_normal((8, 4)).astype(np.float32)
+    r = x @ w - y
+    ref_grad = 2.0 / r.size * (x.T @ r)
+
+    np.testing.assert_allclose(
+        dist_grad.reshape(ref_grad.shape), ref_grad, rtol=1e-4, atol=1e-5
+    )
