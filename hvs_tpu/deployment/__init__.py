@@ -14,7 +14,7 @@ from .grpc_server import (
     RobotVisionClient,
     SERVICE_NAME,
 )
-from .model_server import ModelExporter, ModelServerManager, ServingModelConfig
+from .model_server import ModelExporter, ModelServerManager, RegistryGate, ServingModelConfig
 from .health_check import (
     HealthChecker,
     HealthStatus,
@@ -28,7 +28,7 @@ __all__ = [
     "VisionAPIServer", "run_server",
     "DetectRequestModel", "DetectionModel", "DetectionResponseModel",
     "RobotVisionService", "RobotGRPCServer", "RobotVisionClient", "SERVICE_NAME",
-    "ModelExporter", "ModelServerManager", "ServingModelConfig",
+    "ModelExporter", "ModelServerManager", "RegistryGate", "ServingModelConfig",
     "HealthChecker", "HealthStatus", "CheckResult",
     "ModelHealthChecker", "SystemHealthChecker", "APIChecker",
 ]

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Sustained host-inclusive serving benchmark: JPEG bytes -> boxes.
+
+The headline bench (bench.py) measures the device path from HBM-resident
+tensors; the reference's 32 ms budget includes host preprocessing
+(reference: PROJECT.md:856-860 — preprocess 2 ms + model 25 ms + postprocess
+5 ms). This benchmark closes that gap: it drives the FULL production path —
+
+    JPEG bytes -> cv2 decode -> native letterbox -> micro-batcher ->
+    jitted serve (normalize+forward+decode+NMS on device) -> boxes on host
+
+— under sustained load for a configurable duration, reporting completed FPS
+and p50/p95/p99 per-request latency. Run on the idle chip (never concurrently
+with training: one host core).
+
+Usage:
+    python scripts/serve_bench.py --seconds 30 --image-size 640 \
+        --jpeg-dir data/shapes/val --output SERVE_SUSTAINED.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Sustained JPEG->boxes benchmark")
+    p.add_argument("--seconds", type=float, default=30.0)
+    p.add_argument("--image-size", type=int, default=640)
+    p.add_argument("--jpeg-dir", default="data/shapes/val",
+                   help="directory of .jpg frames (synthetic fallback)")
+    p.add_argument("--frames", type=int, default=64, help="distinct frames cycled")
+    p.add_argument("--inflight", type=int, default=64,
+                   help="max in-flight requests (backpressure)")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--num-classes", type=int, default=80)
+    p.add_argument("--output", default=None)
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args()
+
+
+def load_jpegs(args) -> list:
+    """Distinct JPEG byte strings; generated if no directory is available."""
+    import cv2
+
+    paths = sorted(glob.glob(os.path.join(args.jpeg_dir, "*.jpg")))[: args.frames]
+    if paths:
+        return [open(p, "rb").read() for p in paths]
+    rng = np.random.default_rng(0)
+    blobs = []
+    for _ in range(args.frames):
+        img = rng.integers(0, 255, (480, 640, 3), np.uint8)
+        ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        assert ok
+        blobs.append(enc.tobytes())
+    return blobs
+
+
+def main():
+    args = parse_args()
+
+    from hvs_tpu.config import InferenceConfig, ModelConfig
+    from hvs_tpu.inference import InferenceEngine
+    from hvs_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
+    import cv2
+
+    mcfg = ModelConfig()
+    mcfg.detection.num_classes = args.num_classes
+    icfg = InferenceConfig()
+    icfg.preprocessing.image_size = args.image_size
+    icfg.performance.batch_buckets = (1, 2, 4, 8, 16)
+    icfg.performance.max_queue_delay_ms = 8.0
+    if args.checkpoint:
+        icfg.checkpoint_path = args.checkpoint
+    if args.tiny:
+        mcfg.backbone.stage_channels = (16, 24, 32, 40)
+        mcfg.backbone.stage_blocks = (1, 1, 1, 1)
+        mcfg.vit.dim = 16
+        mcfg.vit.depth = 1
+        mcfg.vit.num_heads = 2
+        mcfg.fusion.fpn_channels = 16
+        mcfg.detection.head_channels = 16
+        mcfg.mhc.sinkhorn_iterations = 5
+        icfg.preprocessing.image_size = 64
+
+    engine = InferenceEngine(mcfg, icfg)
+    engine.warmup()
+    engine.start_batcher()
+
+    blobs = load_jpegs(args)
+    n_blobs = len(blobs)
+    latencies = []
+    lat_lock = threading.Lock()
+    sem = threading.Semaphore(args.inflight)
+    done = 0
+    errors = []
+
+    def collect(fut, t_submit):
+        nonlocal done
+        try:
+            fut.result(timeout=120)
+            with lat_lock:
+                latencies.append(time.perf_counter() - t_submit)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            sem.release()
+
+    # Sustained closed-loop load: decode on the submitting thread (host cost
+    # measured), completion collected via callbacks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    collector = ThreadPoolExecutor(max_workers=2)
+    t0 = time.perf_counter()
+    i = 0
+    submitted = 0
+    while time.perf_counter() - t0 < args.seconds:
+        sem.acquire()
+        blob = blobs[i % n_blobs]
+        i += 1
+        t_submit = time.perf_counter()
+        img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+        fut = engine.submit(img)
+        submitted += 1
+        collector.submit(collect, fut, t_submit)
+    # Drain.
+    for _ in range(args.inflight):
+        sem.acquire()
+    elapsed = time.perf_counter() - t0
+    engine.stop_batcher()
+    collector.shutdown(wait=True)
+
+    assert not errors, errors[:3]
+    lat = np.asarray(sorted(latencies)) * 1e3
+    completed = len(lat)
+    report = {
+        "sustained_fps_host_inclusive": round(completed / elapsed, 2),
+        "seconds": round(elapsed, 2),
+        "frames": completed,
+        "image_size": args.image_size,
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p95_ms": round(float(np.percentile(lat, 95)), 2),
+        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "path": "jpeg->decode->letterbox->microbatch->device(fwd+decode+nms)->boxes",
+        "engine_stats": engine.get_performance_stats(),
+    }
+    print(json.dumps({k: v for k, v in report.items() if k != "engine_stats"},
+                     indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+
+
+if __name__ == "__main__":
+    main()

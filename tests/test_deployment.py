@@ -16,6 +16,7 @@ from hvs_tpu.deployment import (
     HealthStatus,
     ModelExporter,
     ModelServerManager,
+    RegistryGate,
     RobotGRPCServer,
     RobotVisionClient,
     ServingModelConfig,
@@ -284,3 +285,52 @@ def test_health_monitoring_thread(engine):
     hc.stop_monitoring()
     assert len(reports) >= 2
     assert len(hc.history) >= 2
+
+
+# ---------------- model repository + admission gates -------------------------
+
+
+def test_registry_gate_thresholds():
+    gate = RegistryGate("configs/model_registry.yaml")
+    ok, why = gate.admit(
+        {"map_50": 0.9, "latency_ms": 10, "precision": 0.95, "recall": 0.9,
+         "ds_error": 1e-4, "max_eigenvalue": 0.99}
+    )
+    assert ok, why
+    bad, why = gate.admit({"map_50": 0.5, "latency_ms": 10})
+    assert not bad
+    assert any("min_map_50" in r for r in why)
+    slow_, why = gate.admit({"map_50": 0.9, "latency_ms": 500})
+    assert not slow_
+    assert any("max_latency_ms" in r for r in why)
+
+
+def test_repository_versioning_and_gated_load(engine, tmp_path):
+    """export -> repository -> health-gated load (reference Triton repo
+    builder + registry gates, model_server.py:327-467)."""
+    root = str(tmp_path / "repo")
+    mgr = ModelServerManager(
+        engine, ServingModelConfig(image_size=64),
+        gate=RegistryGate("configs/model_registry.yaml"),
+    )
+    good = {"map_50": 0.9, "latency_ms": 8.0, "precision": 0.95, "recall": 0.9,
+            "ds_error": 1e-4, "max_eigenvalue": 0.99}
+    bad = dict(good, map_50=0.4)
+
+    r1 = mgr.build_repository(root, version=1, metrics=good)
+    assert r1["admitted"], r1
+    r2 = mgr.build_repository(root, version=2, metrics=bad)
+    assert not r2["admitted"]
+    assert any("min_map_50" in f for f in r2["failures"])
+
+    # config.pbtxt carries the dynamic-batching preferences.
+    pbtxt = (tmp_path / "repo" / "hybrid_vision" / "config.pbtxt").read_text()
+    assert "dynamic_batching" in pbtxt and "preferred_batch_size" in pbtxt
+
+    # Latest ADMITTED version is 1 (2 failed its gates) and loads fine.
+    assert ModelServerManager.latest_admitted(root, "hybrid_vision") == 1
+    assert mgr.load_from_repository(root) == 1
+
+    # Loading the rejected version explicitly is refused.
+    with pytest.raises(RuntimeError, match="not admitted"):
+        mgr.load_from_repository(root, version=2)
