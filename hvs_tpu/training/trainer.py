@@ -90,6 +90,14 @@ class TrainerConfig:
     # Long-run instrumentation: per-step JSONL metrics + step-based checkpoints.
     metrics_log: Optional[str] = None
     checkpoint_every_steps: int = 0  # 0 disables
+    # Gradient-explosion alert threshold on the PRE-clip global norm. The
+    # optax chain clips updates to clip_regular/clip_mhc before they reach the
+    # weights, and the pre-clip norm of this YOLO loss naturally sits at
+    # ~50-250 with spikes to ~1000 during warmup (measured on the shapes
+    # run) — the reference's 100.0 (tuned to its own loss scale) would trip
+    # every early check and grind lr_scale to the floor. Real explosions are
+    # orders of magnitude larger or non-finite.
+    grad_explosion_threshold: float = 2000.0
 
 
 def global_norm(tree) -> jax.Array:
@@ -220,7 +228,11 @@ class ManifoldConstrainedTrainer:
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(n_model=1)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self.monitor = StabilityMonitor()
+        from .stability import StabilityThresholds
+
+        self.monitor = StabilityMonitor(
+            StabilityThresholds(grad_explosion=config.grad_explosion_threshold)
+        )
         self.history: Dict[str, list] = {"train_loss": [], "val_loss": []}
         self.best_val_loss = float("inf")
         self.epochs_without_improvement = 0
@@ -326,6 +338,12 @@ class ManifoldConstrainedTrainer:
                     self._sync_lr_scale()
                 if not report["is_stable"]:
                     self._apply_stability_corrections(report)
+                elif self._stab_scale < 1.0:
+                    # Recover after clean checks — corrections are a brake,
+                    # not a ratchet (reference's ManifoldAwareScheduler
+                    # recovers at 1.02/step; scheduler.py:306-449).
+                    self._stab_scale = min(self._stab_scale * 1.25, 1.0)
+                    self._sync_lr_scale()
             if (
                 self.config.checkpoint_every_steps
                 and step % self.config.checkpoint_every_steps == 0
@@ -357,9 +375,13 @@ class ManifoldConstrainedTrainer:
             scale *= self.plateau.scale
         if self.manifold_sched is not None:
             scale *= self.manifold_sched.scale
-        self.state = self.state.replace(
-            lr_scale=jnp.asarray(max(scale, 1e-3), jnp.float32)
+        # Placement must match the replicated train state: an uncommitted
+        # scalar here changes the input sharding signature and forces a full
+        # train-step recompile (~minutes) on the next step.
+        new_scale = jax.device_put(
+            jnp.asarray(max(scale, 1e-3), jnp.float32), replicated(self.mesh)
         )
+        self.state = self.state.replace(lr_scale=new_scale)
 
     def _apply_stability_corrections(self, report: Dict[str, Any]) -> None:
         """Halve the LR multiplier on instability (reference: mhc_trainer.py:404-420;
