@@ -68,14 +68,12 @@ def loss_fn(w, x, y):
     return jnp.mean((x @ w - y) ** 2)
 
 grad = jax.jit(jax.grad(loss_fn))(w, batch["x"], batch["y"])
-# Gather the (replicated) gradient to host on process 0.
-from jax.experimental import multihost_utils
-grad_host = multihost_utils.process_allgather(grad)
+# The gradient is fully replicated over the global mesh (psum inside jit),
+# so any local shard IS the global value.
+grad_host = np.asarray(grad.addressable_shards[0].data)
 if pid == 0:
     with open(out_path, "w") as f:
-        json.dump({"grad": np.asarray(grad_host)[0].tolist()
-                   if np.asarray(grad_host).ndim == 3
-                   else np.asarray(grad_host).tolist()}, f)
+        json.dump({"grad": grad_host.tolist()}, f)
 print("WORKER_OK", pid)
 """
 
