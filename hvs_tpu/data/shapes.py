@@ -1,0 +1,306 @@
+"""Synthetic-shapes detection benchmark: reproducible COCO-format dataset.
+
+The reference measures detection accuracy on real COCO
+(reference: scripts/evaluate.py:129-164, README.md:183 — mAP@0.5 = 0.78).
+Real COCO images are not obtainable in this environment (zero egress), so
+this module provides the dataset side of that measurement: a generated
+8-class geometric-shapes detection benchmark with cluttered backgrounds,
+written in exactly the COCO instances layout that :class:`COCODataModule`
+and ``scripts/evaluate.py`` consume:
+
+    root/
+      train/  *.jpg
+      val/    *.jpg
+      annotations/instances_train.json
+      annotations/instances_val.json
+
+Design notes (what makes it a *detection* benchmark, not a toy):
+
+  * Class identity is geometry only — colors are random per instance, so the
+    model cannot shortcut on color.
+  * Backgrounds are cluttered: low-frequency color gradients, sensor-style
+    noise, and unlabeled distractors (thin lines, small specks) that the
+    model must learn to ignore.
+  * 1..6 instances per image with bounded mutual IoU, scales spanning
+    ~1/10 to ~1/3 of the image, so the multi-scale FPN + assignment path is
+    actually exercised.
+  * Fully deterministic given ``seed`` (per-image independent RNG streams,
+    so regeneration of any subset is stable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+SHAPE_CLASSES = (
+    "circle",
+    "square",
+    "triangle",
+    "rectangle",
+    "ellipse",
+    "ring",
+    "cross",
+    "star",
+)
+
+# Saturated foreground palette (BGR-agnostic; stored RGB). Class-independent.
+_PALETTE = np.asarray(
+    [
+        (230, 60, 50),
+        (60, 200, 60),
+        (60, 90, 235),
+        (240, 200, 40),
+        (230, 60, 220),
+        (40, 220, 220),
+        (250, 140, 30),
+        (150, 70, 240),
+        (240, 240, 240),
+        (110, 250, 130),
+    ],
+    np.float32,
+)
+
+
+def _poly_points(cls: str, cx: float, cy: float, s: float, theta: float,
+                 aspect: float) -> Optional[np.ndarray]:
+    """Vertex list for polygonal classes (None for curved classes)."""
+    if cls == "square":
+        pts = np.asarray([(-1, -1), (1, -1), (1, 1), (-1, 1)], np.float32) * s
+    elif cls == "rectangle":
+        pts = np.asarray([(-1, -1), (1, -1), (1, 1), (-1, 1)], np.float32)
+        pts = pts * np.asarray([s, s * aspect], np.float32)
+    elif cls == "triangle":
+        ang = np.asarray([np.pi / 2, np.pi / 2 + 2 * np.pi / 3,
+                          np.pi / 2 + 4 * np.pi / 3], np.float32)
+        pts = np.stack([np.cos(ang), -np.sin(ang)], 1) * s
+    elif cls == "cross":
+        t = 0.36  # arm half-thickness relative to s
+        a, b = s, s * t
+        pts = np.asarray(
+            [(-b, -a), (b, -a), (b, -b), (a, -b), (a, b), (b, b),
+             (b, a), (-b, a), (-b, b), (-a, b), (-a, -b), (-b, -b)],
+            np.float32,
+        )
+    elif cls == "star":
+        outer, inner = s, 0.45 * s
+        ang = np.pi / 2 + np.arange(10, dtype=np.float32) * np.pi / 5
+        rad = np.where(np.arange(10) % 2 == 0, outer, inner).astype(np.float32)
+        pts = np.stack([rad * np.cos(ang), -rad * np.sin(ang)], 1)
+    else:
+        return None
+    c, si = np.cos(theta), np.sin(theta)
+    rot = np.asarray([[c, -si], [si, c]], np.float32)
+    return pts @ rot.T + np.asarray([cx, cy], np.float32)
+
+
+def _draw_shape(img: np.ndarray, cls: str, cx: float, cy: float, s: float,
+                theta: float, aspect: float, color: Tuple[int, int, int],
+                ) -> Tuple[float, float, float, float]:
+    """Draw one instance; return its tight pixel bbox as (x, y, w, h)."""
+    import cv2
+
+    col = tuple(int(v) for v in color)
+    pts = _poly_points(cls, cx, cy, s, theta, aspect)
+    if pts is not None:
+        ipts = np.round(pts).astype(np.int32)
+        cv2.fillPoly(img, [ipts], col, lineType=cv2.LINE_AA)
+        x1, y1 = pts.min(0)
+        x2, y2 = pts.max(0)
+    elif cls == "circle":
+        cv2.circle(img, (int(round(cx)), int(round(cy))), int(round(s)), col,
+                   -1, lineType=cv2.LINE_AA)
+        x1, y1, x2, y2 = cx - s, cy - s, cx + s, cy + s
+    elif cls == "ellipse":
+        ax = (int(round(s)), int(round(s * aspect)))
+        deg = float(np.degrees(theta))
+        cv2.ellipse(img, (int(round(cx)), int(round(cy))), ax, deg, 0, 360,
+                    col, -1, lineType=cv2.LINE_AA)
+        # Tight bbox of a rotated ellipse: half-axes projected onto x/y.
+        c, si = np.cos(theta), np.sin(theta)
+        hx = float(np.hypot(s * c, s * aspect * si))
+        hy = float(np.hypot(s * si, s * aspect * c))
+        x1, y1, x2, y2 = cx - hx, cy - hy, cx + hx, cy + hy
+    elif cls == "ring":
+        r_out = int(round(s))
+        thickness = max(2, int(round(s * 0.28)))
+        cv2.circle(img, (int(round(cx)), int(round(cy))), r_out, col,
+                   thickness, lineType=cv2.LINE_AA)
+        half = s + thickness / 2.0
+        x1, y1, x2, y2 = cx - half, cy - half, cx + half, cy + half
+    else:  # pragma: no cover — guarded by SHAPE_CLASSES
+        raise ValueError(f"unknown shape class: {cls}")
+    return float(x1), float(y1), float(x2 - x1), float(y2 - y1)
+
+
+def _background(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Cluttered but desaturated background: gradient + noise + distractors."""
+    import cv2
+
+    # Low-frequency color field (upsampled coarse noise), kept dim so the
+    # saturated foreground palette always contrasts.
+    coarse = rng.uniform(30, 140, (4, 4, 3)).astype(np.float32)
+    bg = cv2.resize(coarse, (size, size), interpolation=cv2.INTER_CUBIC)
+    bg = bg + rng.normal(0, 9, (size, size, 3)).astype(np.float32)
+    img = np.clip(bg, 0, 255).astype(np.uint8)
+
+    # Unlabeled distractors: thin lines + small specks (below detector scale).
+    for _ in range(int(rng.integers(2, 7))):
+        p1 = tuple(int(v) for v in rng.integers(0, size, 2))
+        p2 = tuple(int(v) for v in rng.integers(0, size, 2))
+        col = tuple(int(v) for v in rng.uniform(40, 170, 3))
+        cv2.line(img, p1, p2, col, 1, lineType=cv2.LINE_AA)
+    for _ in range(int(rng.integers(4, 12))):
+        c = tuple(int(v) for v in rng.integers(0, size, 2))
+        col = tuple(int(v) for v in rng.uniform(40, 170, 3))
+        cv2.circle(img, c, int(rng.integers(1, 5)), col, -1,
+                   lineType=cv2.LINE_AA)
+    return img
+
+
+def _iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
+    ax1, ay1, ax2, ay2 = a[0], a[1], a[0] + a[2], a[1] + a[3]
+    bx1, by1, bx2, by2 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+    inter = iw * ih
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def generate_image(
+    rng: np.random.Generator,
+    size: int = 416,
+    min_shapes: int = 1,
+    max_shapes: int = 6,
+    max_overlap: float = 0.25,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One synthetic frame.
+
+    Returns ``(image_rgb_uint8 [size,size,3], boxes_xywh_px [N,4] float32,
+    labels [N] int32)`` with labels indexing :data:`SHAPE_CLASSES`.
+    """
+    img = _background(rng, size)
+    n = int(rng.integers(min_shapes, max_shapes + 1))
+    boxes: List[np.ndarray] = []
+    labels: List[int] = []
+    for _ in range(n):
+        for _attempt in range(12):
+            cls_id = int(rng.integers(0, len(SHAPE_CLASSES)))
+            cls = SHAPE_CLASSES[cls_id]
+            s = float(rng.uniform(0.055, 0.16)) * size  # half-extent
+            margin = 1.35 * s + 2
+            cx = float(rng.uniform(margin, size - margin))
+            cy = float(rng.uniform(margin, size - margin))
+            theta = float(rng.uniform(0, 2 * np.pi))
+            if cls in ("circle", "ring"):
+                theta = 0.0
+            aspect = float(rng.uniform(0.45, 0.7))
+            # Dry-run bbox (draw on scratch is wasteful; bbox math is exact).
+            pts = _poly_points(cls, cx, cy, s, theta, aspect)
+            if pts is not None:
+                bb = np.asarray([pts[:, 0].min(), pts[:, 1].min(),
+                                 np.ptp(pts[:, 0]), np.ptp(pts[:, 1])],
+                                np.float32)
+            elif cls == "ellipse":
+                c, si = np.cos(theta), np.sin(theta)
+                hx = float(np.hypot(s * c, s * aspect * si))
+                hy = float(np.hypot(s * si, s * aspect * c))
+                bb = np.asarray([cx - hx, cy - hy, 2 * hx, 2 * hy], np.float32)
+            else:
+                half = s * (1.14 if cls == "ring" else 1.0)
+                bb = np.asarray([cx - half, cy - half, 2 * half, 2 * half],
+                                np.float32)
+            if all(_iou_xywh(bb, b) <= max_overlap for b in boxes):
+                color = _PALETTE[int(rng.integers(0, len(_PALETTE)))]
+                color = np.clip(color + rng.normal(0, 12, 3), 0, 255)
+                bbox = _draw_shape(img, cls, cx, cy, s, theta, aspect,
+                                   tuple(color))
+                boxes.append(np.asarray(bbox, np.float32))
+                labels.append(cls_id)
+                break
+    if not boxes:  # extremely unlikely; keep the invariant n >= 1
+        bbox = _draw_shape(img, "circle", size / 2, size / 2, size * 0.1,
+                           0.0, 1.0, tuple(_PALETTE[0]))
+        boxes.append(np.asarray(bbox, np.float32))
+        labels.append(0)
+    return img, np.stack(boxes), np.asarray(labels, np.int32)
+
+
+def _write_split(
+    root: str,
+    split: str,
+    num_images: int,
+    size: int,
+    seed: int,
+    jpeg_quality: int = 92,
+) -> str:
+    import cv2
+
+    img_dir = os.path.join(root, split)
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(num_images):
+        # Independent stream per image: any subset regenerates identically.
+        rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+        img, boxes, labels = generate_image(rng, size=size)
+        fname = f"{split}_{i:06d}.jpg"
+        cv2.imwrite(
+            os.path.join(img_dir, fname),
+            cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+            [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality],
+        )
+        image_id = i + 1
+        images.append({"id": image_id, "file_name": fname,
+                       "width": size, "height": size})
+        for b, lab in zip(boxes, labels):
+            # Clip to the frame so areas/IoUs match what is actually visible.
+            x1 = float(np.clip(b[0], 0, size))
+            y1 = float(np.clip(b[1], 0, size))
+            x2 = float(np.clip(b[0] + b[2], 0, size))
+            y2 = float(np.clip(b[1] + b[3], 0, size))
+            annotations.append({
+                "id": ann_id,
+                "image_id": image_id,
+                "bbox": [x1, y1, x2 - x1, y2 - y1],
+                "category_id": int(lab) + 1,  # COCO ids are 1-based
+                "area": (x2 - x1) * (y2 - y1),
+                "iscrowd": 0,
+            })
+            ann_id += 1
+
+    ann_path = os.path.join(ann_dir, f"instances_{split}.json")
+    with open(ann_path, "w") as f:
+        json.dump({
+            "info": {"description": f"hvs_tpu synthetic shapes ({split})",
+                     "seed": seed, "size": size},
+            "images": images,
+            "annotations": annotations,
+            "categories": [
+                {"id": i + 1, "name": name, "supercategory": "shape"}
+                for i, name in enumerate(SHAPE_CLASSES)
+            ],
+        }, f)
+    return ann_path
+
+
+def generate_dataset(
+    root: str,
+    num_train: int = 4000,
+    num_val: int = 500,
+    size: int = 416,
+    seed: int = 0,
+) -> Dict[str, str]:
+    """Generate the full benchmark; returns {split: annotation_path}."""
+    return {
+        "train": _write_split(root, "train", num_train, size, seed),
+        # Disjoint stream for val (never reuses a train image).
+        "val": _write_split(root, "val", num_val, size, seed + 1_000_003),
+    }

@@ -253,3 +253,49 @@ def test_coco_dataset_category_remap(tmp_path):
     s = ds[0]
     assert s["labels"][0] == 1  # 17 -> contiguous index 1
     assert ds.class_names == ["car", "cat"]
+
+
+def test_shapes_benchmark_generator(tmp_path):
+    """Shapes benchmark: COCO layout, tight boxes, determinism, 8 classes.
+
+    Regression guard: this module was once lost to an unanchored ``data/``
+    gitignore rule — keep it imported and exercised from the suite.
+    """
+    from hvs_tpu.data import (
+        SHAPE_CLASSES,
+        generate_shapes_dataset,
+        generate_shapes_image,
+    )
+
+    assert len(SHAPE_CLASSES) == 8
+    paths = generate_shapes_dataset(str(tmp_path), num_train=4, num_val=2,
+                                    size=128, seed=7)
+    for split, n in (("train", 4), ("val", 2)):
+        ds = COCODataset(root=str(tmp_path / split),
+                         annotation_file=paths[split],
+                         image_size=128, max_boxes=8)
+        assert len(ds) == n
+        assert ds.class_names == list(SHAPE_CLASSES)
+        s = ds[0]
+        assert s["images"].shape == (128, 128, 3)
+        nvalid = int(s["box_mask"].sum())
+        assert nvalid >= 1
+        b = s["boxes"][:nvalid]
+        assert (b > 0).all() and (b <= 1).all()  # normalized cxcywh in frame
+
+    # Per-image RNG streams: the same (seed, index) regenerates bit-exactly.
+    r1 = np.random.default_rng(np.random.SeedSequence([7, 2]))
+    r2 = np.random.default_rng(np.random.SeedSequence([7, 2]))
+    i1, b1, l1 = generate_shapes_image(r1, size=96)
+    i2, b2, l2 = generate_shapes_image(r2, size=96)
+    assert (i1 == i2).all() and (b1 == b2).all() and (l1 == l2).all()
+
+    # Boxes are tight: every annotation's bbox region must contain foreground
+    # pixels that differ from the (clutter-free) background immediately
+    # outside — checked structurally: area > 0 and inside the frame.
+    ann = json.loads((tmp_path / "annotations" / "instances_train.json").read_text())
+    assert len(ann["categories"]) == 8
+    for a in ann["annotations"]:
+        x, y, w, h = a["bbox"]
+        assert w > 2 and h > 2
+        assert 0 <= x and x + w <= 128 + 1e-3 and 0 <= y and y + h <= 128 + 1e-3
