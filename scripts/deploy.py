@@ -154,8 +154,33 @@ def serve(args) -> None:
         server.wait()
 
 
+def apply_config_defaults(args, subparser, path):
+    """Overlay YAML defaults (configs/deployment.yaml) under CLI flags.
+
+    Precedence: explicit CLI flag > YAML value > argparse default — implemented
+    by only filling attributes still at their argparse default
+    (reference: scripts/deploy.py reads configs/deployment.yaml for image
+    tags/endpoints; same layering, TPU targets).
+    """
+    if not path or not os.path.exists(path):
+        return args
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    section = cfg.get(args.action, {}) or {}
+    defaults = {a.dest: a.default for a in subparser._actions}
+    for key, value in section.items():
+        attr = key.replace("-", "_")
+        if hasattr(args, attr) and getattr(args, attr) == defaults.get(attr):
+            setattr(args, attr, value)
+    return args
+
+
 def main():
     p = argparse.ArgumentParser(description="Deploy the vision stack")
+    p.add_argument("--config", default="configs/deployment.yaml",
+                   help="YAML defaults layered under CLI flags")
     sub = p.add_subparsers(dest="action", required=True)
 
     d = sub.add_parser("docker")
@@ -186,6 +211,7 @@ def main():
     s.add_argument("--checkpoint", default=None)
 
     args = p.parse_args()
+    args = apply_config_defaults(args, sub.choices[args.action], args.config)
     if args.action == "docker":
         mgr = DeploymentManager(args.dry_run)
         sys.exit(mgr.docker_build(args.tag, args.dockerfile, args.push, args.registry))

@@ -130,8 +130,13 @@ def main():
 
     accuracy = evaluator.evaluate()
     perf = engine.get_performance_stats()
+    per_class = accuracy.get("per_class_AP@0.5", {})
     report = {
         "accuracy": {k: v for k, v in accuracy.items() if not isinstance(v, dict)},
+        "per_class_AP@0.5": {
+            dataset.class_names[c] if c < len(dataset.class_names) else str(c): v
+            for c, v in sorted(per_class.items())
+        },
         "performance": perf,
         "stability": engine.get_stability_report(),
     }

@@ -182,3 +182,84 @@ def test_native_library_builds_and_matches_python():
     area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     ref = inter / (area_a[:, None] + area_b[None, :] - inter)
     np.testing.assert_allclose(native, ref, atol=1e-5)
+
+
+# ---------------- Round-2 infra additions ----------------
+
+
+def test_split_compose_files():
+    """Split train/inference stacks (reference: docker/docker-compose.*.yml)."""
+    inf = yaml.safe_load(_read("docker", "docker-compose.inference.yml"))
+    assert {"api", "grpc", "prometheus"} <= set(inf["services"])
+    assert inf["services"]["api"]["healthcheck"]["test"][0] == "CMD"
+    tr = yaml.safe_load(_read("docker", "docker-compose.train.yml"))
+    assert "train" in tr["services"]
+    cmd = " ".join(tr["services"]["train"]["command"])
+    assert "scripts/train.py" in cmd
+
+
+def test_build_script():
+    """build.sh exists, is executable, and dry-runs both images."""
+    import subprocess
+
+    path = os.path.join(REPO, "docker", "build.sh")
+    assert os.access(path, os.X_OK)
+    out = subprocess.run(
+        ["bash", path, "--type", "all", "--dry-run"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "Dockerfile.inference" in out and "Dockerfile.train" in out
+    # --push without --registry must fail loudly, not push to docker.io.
+    rc = subprocess.run(
+        ["bash", path, "--type", "inference", "--dry-run", "--push"],
+        capture_output=True, text=True,
+    )
+    assert rc.returncode != 0
+
+
+def test_k8s_secrets_template_has_no_real_values():
+    docs = list(yaml.safe_load_all(_read("kubernetes", "secrets.yaml")))
+    secret = next(d for d in docs if d.get("kind") == "Secret"
+                  and d["type"] == "Opaque")
+    token = secret["stringData"]["api-auth-token"]
+    assert token in ("", "CHANGE-ME"), "never commit real secrets"
+
+
+def test_k8s_tpu_scheduler_policy():
+    docs = list(yaml.safe_load_all(_read("kubernetes", "tpu-scheduler.yaml")))
+    kinds = [d["kind"] for d in docs]
+    assert kinds.count("PriorityClass") == 2
+    serving = next(d for d in docs if d.get("metadata", {}).get("name")
+                   == "hvs-tpu-serving")
+    batch = next(d for d in docs if d.get("metadata", {}).get("name")
+                 == "hvs-tpu-batch")
+    assert serving["value"] > batch["value"]  # serving preempts batch
+    contract = next(d for d in docs if d["kind"] == "ConfigMap")
+    assert "gke-tpu-accelerator" in contract["data"]["node-selector"]
+
+
+def test_base_yaml_loads_as_base_config():
+    from hvs_tpu.config import BaseConfig, load_config
+
+    cfg = load_config(os.path.join(REPO, "configs", "base.yaml"), "base")
+    assert isinstance(cfg, BaseConfig)
+    assert cfg.precision == "bf16"
+
+
+def test_deploy_config_defaults_layering():
+    """YAML fills argparse defaults; explicit CLI flags still win."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "deploy.py"),
+         "docker", "--dry-run"],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    ).stdout
+    assert "-t hvs-tpu:latest" in out  # from configs/deployment.yaml
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "deploy.py"),
+         "docker", "--dry-run", "--tag", "override:v9"],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    ).stdout
+    assert "-t override:v9" in out
