@@ -99,9 +99,18 @@ class MHCDataLoader:
                     order.put(ticket)
                 try:
                     samples = [self.dataset[int(i)] for i in batch_idx]
-                    ticket.put(self.collate_fn(samples))
+                    item: Any = self.collate_fn(samples)
                 except Exception as e:  # surface errors to the consumer
-                    ticket.put(e)
+                    item = e
+                # Cancellable hand-off: if the consumer abandoned the iterator
+                # (break / GC), done is set and nobody will ever take this
+                # ticket — exit instead of blocking forever.
+                while not done.is_set():
+                    try:
+                        ticket.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [
             threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
@@ -131,6 +140,11 @@ class MHCDataLoader:
                     yield item
         finally:
             done.set()
+            # Wait for workers to leave native code (cv2 decode/resize): a
+            # thread still inside OpenCV at interpreter teardown aborts the
+            # whole process ("terminate called without an active exception").
+            for t in threads:
+                t.join(timeout=2.0)
         self.epoch += 1
 
 

@@ -299,3 +299,33 @@ def test_shapes_benchmark_generator(tmp_path):
         x, y, w, h = a["bbox"]
         assert w > 2 and h > 2
         assert 0 <= x and x + w <= 128 + 1e-3 and 0 <= y and y + h <= 128 + 1e-3
+
+
+def test_loader_abandoned_iterator_exits_cleanly(synthetic_dataset_dir):
+    """Breaking out of a loader loop must not abort the process at exit.
+
+    Regression: daemon workers still inside cv2 native code during
+    interpreter teardown raise the C++ 'terminate called without an active
+    exception' abort (SIGABRT). The iterator's finally-block now cancels and
+    joins its workers.
+    """
+    import subprocess
+    import sys
+    import textwrap
+
+    root, ann = synthetic_dataset_dir
+    code = textwrap.dedent(f"""
+        from hvs_tpu.data import BaseVisionDataset, MHCDataLoader
+        ds = BaseVisionDataset({str(str(root))!r}, {str(ann)!r},
+                               image_size=64, max_boxes=8)
+        loader = MHCDataLoader(ds, batch_size=2, num_workers=2, prefetch=4)
+        batch = next(iter(loader))   # abandon the iterator mid-epoch
+        print("got", batch["images"].shape)
+    """)
+    for _ in range(3):  # teardown race: give it several chances to fail
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr[-800:]
+        assert "got" in proc.stdout

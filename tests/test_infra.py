@@ -263,3 +263,42 @@ def test_deploy_config_defaults_layering():
         capture_output=True, text=True, cwd=REPO, check=True,
     ).stdout
     assert "-t override:v9" in out
+
+
+# ---------------- Notebooks (reference: notebooks/01..05) ----------------
+
+
+def test_notebooks_valid_and_in_sync():
+    """notebooks/*.ipynb are generated from examples/nb_*.py and committed;
+    they must parse as valid nbformat v4 and match their sources exactly."""
+    import glob
+    import subprocess
+    import sys
+
+    import nbformat
+
+    nbs = sorted(glob.glob(os.path.join(REPO, "notebooks", "*.ipynb")))
+    assert len(nbs) == 5, "expected the 5 reference-parity notebooks"
+    for p in nbs:
+        nb = nbformat.read(p, as_version=4)
+        assert len(nb.cells) >= 8, f"{p} is thin"
+        assert nb.cells[0].cell_type == "markdown"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_notebooks.py"),
+         "--check"],
+        check=True, cwd=REPO, capture_output=True,
+    )
+
+
+def test_notebook_source_data_exploration_executes(tmp_path):
+    """nb_01 is pure host-side; execute it end-to-end (the model notebooks
+    are covered by the slow suite's component tests)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, HVS_NB_TINY="1", HVS_NB_OUT=str(tmp_path))
+    subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "examples", "nb_01_data_exploration.py")],
+        check=True, cwd=REPO, env=env, capture_output=True, timeout=280,
+    )
