@@ -31,6 +31,12 @@ def main():
     args = p.parse_args()
 
     rows = [json.loads(l) for l in open(args.steps)]
+    # A resumed run replays steps between its restore point and the crash
+    # point; keep the last record per step so counts reflect unique steps.
+    by_step = {}
+    for r in rows:
+        by_step[r["step"]] = r
+    rows = [by_step[s] for s in sorted(by_step)]
     loss = np.asarray([r["loss"] for r in rows], np.float64)
     grad = np.asarray([r["grad_norm"] for r in rows], np.float64)
     lr = np.asarray([r.get("lr_scale", 1.0) for r in rows], np.float64)
