@@ -302,3 +302,35 @@ def test_notebook_source_data_exploration_executes(tmp_path):
          os.path.join(REPO, "examples", "nb_01_data_exploration.py")],
         check=True, cwd=REPO, env=env, capture_output=True, timeout=280,
     )
+
+
+def test_summarize_run_dedupes_resumed_steps(tmp_path):
+    """A resume replays steps between the restore point and the crash point;
+    the stability artifact must count unique steps and use the last record."""
+    import json
+    import subprocess
+    import sys
+
+    steps = tmp_path / "steps.jsonl"
+    rows = []
+    # Segment 1: steps 0..9.
+    for s in range(10):
+        rows.append({"step": s, "time": 1000.0 + s, "lr_scale": 1.0,
+                     "loss": 10.0 - 0.5 * s, "grad_norm": 5.0})
+    # Resume from step 5: steps 5..14 replayed/continued with new losses.
+    for s in range(5, 15):
+        rows.append({"step": s, "time": 2000.0 + (s - 5), "lr_scale": 1.0,
+                     "loss": 8.0 - 0.5 * s, "grad_norm": 4.0})
+    steps.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "stab.json"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "summarize_run.py"),
+         "--steps", str(steps), "--output", str(out)],
+        check=True, cwd=REPO, capture_output=True, timeout=280,
+    )
+    artifact = json.loads(out.read_text())
+    assert artifact["steps"] == 15  # unique steps, not 20 raw rows
+    assert artifact["all_finite"]
+    # Replayed steps 5..9 must use the post-resume (last) records.
+    assert artifact["loss_min"] == 8.0 - 0.5 * 14
+    assert not artifact["diverged"]
