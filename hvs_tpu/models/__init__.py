@@ -28,7 +28,9 @@ from .fpn import (
     upsample2x,
 )
 from .yolo_head import (
+    ANCHOR_REF_GRIDS,
     COCO_ANCHORS_416,
+    effective_anchors,
     make_anchor_grid,
     YOLOPredictionHead,
     decode_predictions,
@@ -72,7 +74,9 @@ __all__ = [
     "CrossScaleAttention",
     "AdaptiveFeatureFusion",
     "upsample2x",
+    "ANCHOR_REF_GRIDS",
     "COCO_ANCHORS_416",
+    "effective_anchors",
     "make_anchor_grid",
     "YOLOPredictionHead",
     "decode_predictions",

@@ -42,6 +42,27 @@ COCO_ANCHORS_416: Tuple[Tuple[Tuple[float, float], ...], ...] = (
 
 SCALE_ORDER = ("fused_small", "fused_medium", "fused_large")
 
+# Grid sizes per scale at the 416 reference input (strides 8/16/32). Anchors
+# keep FIXED pixel sizes across input resolutions (the standard YOLO
+# convention): at a grid of height h the effective normalized anchor is
+# a * ref_grid / h, i.e. a * 416 / input_size. Without this, decoded box
+# wh inflates by exactly input_size/416 when serving a 416-trained model at
+# another resolution (a CNN measures object extent in pixels: an object
+# spanning P pixels produces the same features — and the same wh logits —
+# at any canvas size, so the anchor pixel size must not scale with canvas).
+ANCHOR_REF_GRIDS: Tuple[int, int, int] = (52, 26, 13)
+
+
+def effective_anchors(scale_idx: int, grid_h: int, anchors=COCO_ANCHORS_416):
+    """Per-scale anchors rescaled so their pixel size is resolution-fixed.
+
+    At 416 input (grid_h == ANCHOR_REF_GRIDS[scale_idx]) this is the identity,
+    so 416-trained checkpoints and the 416 reference-parity semantics are
+    unchanged.
+    """
+    f = ANCHOR_REF_GRIDS[scale_idx] / float(grid_h)
+    return tuple((aw * f, ah * f) for aw, ah in anchors[scale_idx])
+
 
 def make_anchor_grid(grid_h: int, grid_w: int, anchors) -> np.ndarray:
     """Static anchor tensor [A, H, W, 4] (cx, cy, w, h), normalized coords
@@ -203,7 +224,11 @@ class YOLODetectionHead(nn.Module):
             )(feat, deterministic)
             raw_outputs[key] = raw
             h, w = raw.shape[1], raw.shape[2]
-            anchor_grid = jnp.asarray(make_anchor_grid(h, w, self.anchors[scale_idx]))
+            anchor_grid = jnp.asarray(
+                make_anchor_grid(
+                    h, w, effective_anchors(scale_idx, h, self.anchors)
+                )
+            )
             dec = decode_predictions(raw, anchor_grid)
             b = raw.shape[0]
             decoded_boxes.append(dec["boxes"].reshape(b, -1, 4))

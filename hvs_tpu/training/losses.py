@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.yolo_head import COCO_ANCHORS_416, SCALE_ORDER
+from ..models.yolo_head import COCO_ANCHORS_416, SCALE_ORDER, effective_anchors
 from ..ops.boxes import box_ciou, cxcywh_to_xyxy
 
 
@@ -66,8 +66,17 @@ def build_targets(
     b, m, _ = gt_boxes.shape
     num_scales = len(grid_sizes)
     a_per_scale = len(anchors[0])
+    # Resolution-fixed anchor pixel sizes (see yolo_head.effective_anchors):
+    # assignment must use the same effective anchors the decoder will.
     flat_anchors = jnp.asarray(
-        np.array([wh for scale in anchors for wh in scale], np.float32)
+        np.array(
+            [
+                wh
+                for s in range(num_scales)
+                for wh in effective_anchors(s, grid_sizes[s][0], anchors)
+            ],
+            np.float32,
+        )
     )  # [S*A, 2]
 
     # Best anchor per gt by IoU of width/height boxes centered at origin.
@@ -159,7 +168,9 @@ def mhc_yolo_loss(
         # anchors for this scale from targets' box widths are not stored; use
         # predicted decode consistent with yolo_head.decode_predictions.
         scale_idx = SCALE_ORDER.index(key)
-        anc = jnp.asarray(np.array(COCO_ANCHORS_416[scale_idx], np.float32))  # [A, 2]
+        anc = jnp.asarray(
+            np.array(effective_anchors(scale_idx, h), np.float32)
+        )  # [A, 2] resolution-fixed pixel sizes, matching the decoder
         px = (gx + jax.nn.sigmoid(raw[..., 0])) / w
         py = (gy + jax.nn.sigmoid(raw[..., 1])) / h
         pw = anc[None, None, None, :, 0] * jnp.exp(jnp.clip(raw[..., 2], -4, 4))

@@ -120,3 +120,29 @@ def test_targets_invert_through_decoder_to_map_1(seed):
     assert res["mAP@0.5"] == pytest.approx(1.0), res
     # Boxes must round-trip near-exactly, not just above the IoU threshold.
     assert res["mAP@[.5:.95]"] == pytest.approx(1.0), res
+
+
+@pytest.mark.parametrize("train_size,serve_size", [(416, 640), (416, 512), (416, 320)])
+def test_decode_is_resolution_independent(train_size, serve_size):
+    """A 416-trained model serves other resolutions without box inflation.
+
+    A CNN measures object extent in pixels: the same object produces the same
+    wh logits at any canvas size. With resolution-fixed anchor pixel sizes
+    (effective_anchors), identical logits decoded at a different grid must
+    give the same box extent in canvas pixels (and hence, after letterbox
+    inversion, on the source image). Before the fix wh inflated by exactly
+    serve_size/train_size — measured on the shapes benchmark as 0.94 mAP@0.5
+    at 416 collapsing to 0.07 at 640.
+    """
+    from hvs_tpu.models.yolo_head import effective_anchors
+
+    stride = 32  # coarse head; the property is per-scale identical
+    t_wh = np.exp(np.array([0.3, -0.2], np.float32))  # learned wh multiplier
+    for scale_idx, stride in enumerate((8, 16, 32)):
+        anc_t = np.asarray(
+            effective_anchors(scale_idx, train_size // stride), np.float32)
+        anc_s = np.asarray(
+            effective_anchors(scale_idx, serve_size // stride), np.float32)
+        # normalized wh * canvas size = pixels on the canvas; must be equal.
+        np.testing.assert_allclose(
+            anc_t * t_wh * train_size, anc_s * t_wh * serve_size, rtol=1e-5)
