@@ -137,6 +137,7 @@ class InferenceEngine:
         import os
 
         if os.path.isdir(path):
+            import jax
             import orbax.checkpoint as ocp
 
             with ocp.PyTreeCheckpointer() as ckptr:
@@ -146,6 +147,15 @@ class InferenceEngine:
             # (reference: TrainingConfig.ema_decay; eval/serve use the EMA).
             if self.config.use_ema and isinstance(restored, dict):
                 params = restored.get("ema_params", params)
+            # Normalize sharding: orbax restores arrays with the TRAINING
+            # mesh's NamedSharding baked in; jit specializes on sharding, so
+            # serving with them compiles (and persistently caches) a
+            # DIFFERENT program than the same engine with fresh weights.
+            # One on-device re-put makes every engine share one program.
+            device = jax.devices()[0]
+            params = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, device), params
+            )
             return {"params": params}
         from flax import serialization
 
@@ -174,6 +184,59 @@ class InferenceEngine:
             self._serve_fns = {}
 
     # ------------------------------------------------------------------
+    def _aot_wrap(self, tag: str, make_serve, example_batch):
+        """Disk-backed ahead-of-time program cache for serve functions.
+
+        Tracing/lowering this model costs ~400 s on a 1-core host (the XLA
+        compile itself persistently caches at ~2 s); ``jax.export`` blobs
+        deserialize in ~0.1 s with zero retracing. Keyed by everything baked
+        into the program: model config, image size, postprocess thresholds,
+        source shape, bucket, and the jax version. Corrupt/stale blobs fall
+        back to a fresh trace.
+        """
+        import hashlib
+        import os as _os
+
+        import jax
+
+        aot_dir = _os.environ.get(
+            "HVS_AOT_CACHE", _os.path.expanduser("~/.cache/hvs_tpu_aot")
+        )
+        pp = self.config.postprocessing
+        key_src = repr((
+            tag, repr(self.model_config), self.image_size,
+            tuple(example_batch.shape), str(example_batch.dtype),
+            pp.score_threshold, pp.iou_threshold, pp.max_detections,
+            pp.pre_nms_top_k, pp.nms_method,
+            self.config.preprocessing.normalize,
+            self.config.preprocessing.bgr_to_rgb,
+            self.config.preprocessing.pad_color,
+            jax.__version__,
+            jax.default_backend(),  # blobs bake in the lowering platform
+        ))
+        path = _os.path.join(
+            aot_dir, hashlib.sha1(key_src.encode()).hexdigest() + ".jaxexp"
+        )
+        if _os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    rt = jax.export.deserialize(f.read())
+                return jax.jit(rt.call)
+            except Exception:
+                pass  # incompatible blob — retrace below
+        jit_fn = jax.jit(make_serve())
+        try:
+            exported = jax.export.export(jit_fn)(self.variables, example_batch)
+            _os.makedirs(aot_dir, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(exported.serialize())
+            _os.replace(tmp, path)
+            # Reuse the traced artifact — calling jit_fn would retrace.
+            return jax.jit(exported.call)
+        except Exception:
+            return jit_fn
+
     def _serve_fn(self, batch: int):
         """Build/cache the jitted end-to-end function for one batch bucket.
 
@@ -200,23 +263,106 @@ class InferenceEngine:
             normalize = self.config.preprocessing.normalize
             model = self.model
 
-            def serve(variables, images_u8):
-                x = images_u8.astype(jnp.float32) / 255.0
-                if normalize:
-                    x = (x - mean) / std
-                out = model.apply(variables, x, task="detection")
-                det = postprocess_detections(
-                    out["detection"],
-                    score_threshold=pp.score_threshold,
-                    iou_threshold=pp.iou_threshold,
-                    max_detections=pp.max_detections,
-                    pre_nms_top_k=pp.pre_nms_top_k,
-                    nms_method=pp.nms_method,
-                )
-                return det.boxes, det.scores, det.classes, det.num_valid
+            def make_serve():
+                def serve(variables, images_u8):
+                    x = images_u8.astype(jnp.float32) / 255.0
+                    if normalize:
+                        x = (x - mean) / std
+                    out = model.apply(variables, x, task="detection")
+                    det = postprocess_detections(
+                        out["detection"],
+                        score_threshold=pp.score_threshold,
+                        iou_threshold=pp.iou_threshold,
+                        max_detections=pp.max_detections,
+                        pre_nms_top_k=pp.pre_nms_top_k,
+                        nms_method=pp.nms_method,
+                    )
+                    return det.boxes, det.scores, det.classes, det.num_valid
 
-            fn = jax.jit(serve)
+                return serve
+
+            example = np.zeros(
+                (batch, self.image_size, self.image_size, 3), np.uint8
+            )
+            fn = self._aot_wrap("letterboxed", make_serve, example)
             fns[batch] = fn
+            return fn
+
+    def _serve_fn_raw(self, batch: int, src_hw: Tuple[int, int]):
+        """Serve function taking RAW source-size frames: letterbox ON DEVICE.
+
+        Host-side letterbox costs ~6 ms/frame on this 1-core host and fights
+        the GIL inside the micro-batcher; done in-graph it fuses with the
+        normalize + first conv (HBM-bandwidth trivial) and the host path
+        reduces to JPEG decode + np.stack. One compiled program per
+        (batch bucket, source shape) — camera sources have fixed shapes, so
+        this compiles once per stream in practice.
+
+        The geometry matches :func:`hvs_tpu.data.dataset.letterbox` exactly
+        (scale = S/max(h, w), centered padding, pad 114).
+        """
+        key = (batch, src_hw)
+        fns = self._serve_fns
+        fn = fns.get(key)
+        if fn is not None:
+            return fn
+        with self._serve_lock:
+            fns = self._serve_fns
+            if key in fns:
+                return fns[key]
+            import jax
+            import jax.numpy as jnp
+
+            from ..models.yolo_head import postprocess_detections
+
+            h, w = src_hw
+            size = self.image_size
+            scale = size / max(h, w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            pad_x, pad_y = (size - nw) // 2, (size - nh) // 2
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            pad_f = self.config.preprocessing.pad_color / 255.0
+            normalize = self.config.preprocessing.normalize
+            bgr_to_rgb = self.config.preprocessing.bgr_to_rgb
+            pp = self.config.postprocessing
+            model = self.model
+
+            def make_serve():
+                def serve(variables, images_u8):
+                    x = images_u8
+                    if bgr_to_rgb:
+                        x = x[..., ::-1]
+                    x = x.astype(jnp.float32) / 255.0
+                    if (nh, nw) != (h, w):
+                        x = jax.image.resize(
+                            x, (x.shape[0], nh, nw, 3), method="bilinear"
+                        )
+                    if (nh, nw) != (size, size):
+                        canvas = jnp.full(
+                            (x.shape[0], size, size, 3), pad_f, jnp.float32
+                        )
+                        x = jax.lax.dynamic_update_slice(
+                            canvas, x, (0, pad_y, pad_x, 0)
+                        )
+                    if normalize:
+                        x = (x - mean) / std
+                    out = model.apply(variables, x, task="detection")
+                    det = postprocess_detections(
+                        out["detection"],
+                        score_threshold=pp.score_threshold,
+                        iou_threshold=pp.iou_threshold,
+                        max_detections=pp.max_detections,
+                        pre_nms_top_k=pp.pre_nms_top_k,
+                        nms_method=pp.nms_method,
+                    )
+                    return det.boxes, det.scores, det.classes, det.num_valid
+
+                return serve
+
+            example = np.zeros((batch, h, w, 3), np.uint8)
+            fn = self._aot_wrap("raw", make_serve, example)
+            fns[key] = fn
             return fn
 
     def _bucket_for(self, n: int) -> int:
@@ -305,16 +451,52 @@ class InferenceEngine:
         t0 = time.perf_counter()
         n = len(images)
         bucket = self._bucket_for(n)
-        batch = np.zeros((bucket, self.image_size, self.image_size, 3), np.uint8)
-        meta = []
-        for i, img in enumerate(images):
-            padded, scale, pad = self._preprocess(np.asarray(img))
-            batch[i] = padded
-            meta.append((scale, pad, img.shape[:2]))
+        images = [np.asarray(img) for img in images]
         # One snapshot per call: a concurrent reload() cannot mix weights
         # between the fn lookup and the invocation.
         variables = self.variables
-        boxes, scores, classes, num_valid = self._serve_fn(bucket)(variables, batch)
+        import jax
+
+        shapes = {im.shape for im in images}
+        raw_ok = (
+            len(shapes) == 1
+            and images[0].ndim == 3
+            and images[0].shape[2] == 3
+            and images[0].dtype == np.uint8
+        )
+        if raw_ok:
+            # Uniform-shape fast path: ship RAW frames, letterbox on device.
+            h, w = images[0].shape[:2]
+            scale = self.image_size / max(h, w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            pad = ((self.image_size - nw) // 2, (self.image_size - nh) // 2)
+            meta = [(scale, pad, (h, w))] * n
+            batch = np.zeros((bucket, h, w, 3), np.uint8)
+            for i, img in enumerate(images):
+                batch[i] = img
+            fn = self._serve_fn_raw(bucket, (h, w))
+        else:
+            # Mixed shapes: per-image host letterbox fallback.
+            batch = np.zeros(
+                (bucket, self.image_size, self.image_size, 3), np.uint8
+            )
+            meta = []
+            for i, img in enumerate(images):
+                padded, scale, pad = self._preprocess(img)
+                batch[i] = padded
+                meta.append((scale, pad, img.shape[:2]))
+            fn = self._serve_fn(bucket)
+        # Explicit device_put + block BEFORE dispatching compute. Two measured
+        # pathologies behind a tunneled device: (1) numpy handed straight to
+        # the jitted fn goes through a slow synchronous argument-transfer path
+        # (~200 ms vs ~15 ms DMA for a 20 MB batch); (2) a device_put still in
+        # flight when the executable is enqueued degrades the pair to ~450 ms
+        # (transfer/compute collision). Blocking on the ~15 ms DMA first keeps
+        # the compute at its true ~22 ms and lets the micro-batcher overlap it
+        # with the NEXT batch's host work.
+        batch = jax.device_put(batch)
+        jax.block_until_ready(batch)
+        boxes, scores, classes, num_valid = fn(variables, batch)
         return {
             "t0": t0, "n": n, "meta": meta,
             "device": (boxes, scores, classes, num_valid),

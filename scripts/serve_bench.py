@@ -46,6 +46,9 @@ def parse_args():
     p.add_argument("--num-classes", type=int, default=80)
     p.add_argument("--output", default=None)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--bucket", type=int, default=16,
+                   help="max batch bucket (large buckets amortize the "
+                        "tunneled device's fixed per-batch transfer cost)")
     return p.parse_args()
 
 
@@ -68,6 +71,8 @@ def load_jpegs(args) -> list:
 
 def main():
     args = parse_args()
+    # Keep enough requests in flight to form full batches at the big bucket.
+    args.inflight = max(args.inflight, args.bucket * 3)
 
     from hvs_tpu.config import InferenceConfig, ModelConfig
     from hvs_tpu.inference import InferenceEngine
@@ -81,7 +86,10 @@ def main():
     mcfg.detection.num_classes = args.num_classes
     icfg = InferenceConfig()
     icfg.preprocessing.image_size = args.image_size
-    icfg.performance.batch_buckets = (1, 2, 4, 8, 16)
+    # Two buckets: under sustained closed-loop load the batcher forms full
+    # batches; the small one covers the ramp/tail. (Each bucket is one
+    # AOT-cached program.)
+    icfg.performance.batch_buckets = (max(args.bucket // 4, 1), args.bucket)
     icfg.performance.max_queue_delay_ms = 8.0
     if args.checkpoint:
         icfg.checkpoint_path = args.checkpoint
@@ -97,10 +105,16 @@ def main():
         icfg.preprocessing.image_size = 64
 
     engine = InferenceEngine(mcfg, icfg)
-    engine.warmup()
-    engine.start_batcher()
 
     blobs = load_jpegs(args)
+    # Warm the raw-frame (on-device letterbox) program for this source shape
+    # at every bucket, so no compile/trace lands inside the measured window.
+    # (engine.warmup() would build the host-letterboxed programs — unused
+    # here since uniform-shape frames take the raw path.)
+    warm = cv2.imdecode(np.frombuffer(blobs[0], np.uint8), cv2.IMREAD_COLOR)
+    for b in icfg.performance.batch_buckets:
+        engine.infer_batch([warm] * b)
+    engine.start_batcher()
     n_blobs = len(blobs)
     latencies = []
     lat_lock = threading.Lock()

@@ -5,8 +5,12 @@ on virtual CPU devices exactly as the driver's ``dryrun_multichip`` does.
 """
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Isolate the engine's AOT program cache: tests must not read or pollute the
+# user-level cache (CPU-lowered blobs are useless for the real chip anyway).
+os.environ.setdefault("HVS_AOT_CACHE", tempfile.mkdtemp(prefix="hvs_aot_test_"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -23,6 +23,10 @@ from hvs_tpu.inference import InferenceEngine
 def swap_engine():
     e = InferenceEngine(tiny_model_config(), tiny_inference_config())
     e.warmup()
+    # Warm the raw-frame programs for the source shapes the tests hammer with
+    # (production warms its camera shapes the same way) — first use traces.
+    for h, w in ((72, 96), (64, 64)):
+        e.infer(np.zeros((h, w, 3), np.uint8))
     return e
 
 

@@ -295,3 +295,33 @@ def test_complete_pipeline_synthetic_camera():
         pipe.shutdown()
     assert summary["frames"] == 3
     assert summary["fps"] > 0
+
+
+def test_aot_serve_cache_roundtrip(tmp_path, monkeypatch):
+    """Serve programs export to disk and reload WITHOUT retracing.
+
+    Tracing the flagship costs ~400 s on a 1-core host; the AOT blob
+    deserializes in ~0.1 s. A second engine with the same config must load
+    the blob (verified by forbidding export), and produce identical outputs.
+    """
+    import jax
+
+    monkeypatch.setenv("HVS_AOT_CACHE", str(tmp_path))
+    e1 = InferenceEngine(tiny_model_config(), tiny_inference_config())
+    img = _image(3)
+    det1 = e1.infer(img)
+    blobs = list(tmp_path.glob("*.jaxexp"))
+    assert blobs, "expected an exported serve program on disk"
+
+    # Second engine: same config, same weights; exporting again is forbidden,
+    # so serving can only work via the deserialized blob.
+    def forbid(*a, **k):
+        raise AssertionError("retraced instead of loading the AOT blob")
+
+    monkeypatch.setattr(jax.export, "export", forbid)
+    e2 = InferenceEngine(
+        tiny_model_config(), tiny_inference_config(), variables=e1.variables
+    )
+    det2 = e2.infer(img)
+    np.testing.assert_allclose(det1.boxes, det2.boxes, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(det1.classes, det2.classes)
