@@ -70,8 +70,9 @@ print(f"{'TOTAL':>{width}}: {sum(totals.values()) / 1e6:7.3f} M")
 
 # %%
 out = jax.jit(functools.partial(model.apply, task="detection"))(variables, images)
-for scale, pred in enumerate(out["detection"]):
-    print(f"scale {scale}: {pred.shape}  (B, H, W, anchors, 5+C)")
+for scale, pred in out["detection"]["raw"].items():
+    print(f"{scale}: {pred.shape}  (B, H, W, anchors, 5+C)")
+print("decoded boxes:", out["detection"]["boxes"].shape)
 print("features:", out["features"].shape)
 
 # %% [markdown]

@@ -436,7 +436,16 @@ class InferenceEngine:
 
     def infer_batch(self, images: Sequence[np.ndarray]) -> List[Detections]:
         """Batched inference with per-image result splitting
-        (reference: engine.py:319-387)."""
+        (reference: engine.py:319-387). Requests larger than the biggest
+        batch bucket are served in bucket-sized chunks."""
+        max_b = self.config.performance.batch_buckets[-1]
+        if len(images) > max_b:
+            results: List[Detections] = []
+            for i in range(0, len(images), max_b):
+                results.extend(
+                    self.finalize_batch(self.dispatch_batch(images[i : i + max_b]))
+                )
+            return results
         return self.finalize_batch(self.dispatch_batch(images))
 
     def dispatch_batch(self, images: Sequence[np.ndarray]) -> Dict[str, Any]:
@@ -451,6 +460,11 @@ class InferenceEngine:
         t0 = time.perf_counter()
         n = len(images)
         bucket = self._bucket_for(n)
+        if n > bucket:
+            raise ValueError(
+                f"batch of {n} exceeds the largest bucket {bucket}; "
+                "use infer_batch (it chunks) or add a bigger bucket"
+            )
         images = [np.asarray(img) for img in images]
         # One snapshot per call: a concurrent reload() cannot mix weights
         # between the fn lookup and the invocation.

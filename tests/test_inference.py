@@ -325,3 +325,13 @@ def test_aot_serve_cache_roundtrip(tmp_path, monkeypatch):
     det2 = e2.infer(img)
     np.testing.assert_allclose(det1.boxes, det2.boxes, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(det1.classes, det2.classes)
+
+
+def test_infer_batch_chunks_beyond_largest_bucket(engine):
+    """A request larger than the biggest bucket is served in chunks
+    (surfaced by nb_04: 3 frames against buckets (1, 2) crashed)."""
+    imgs = [_image(s) for s in range(5)]  # buckets are (1, 2)
+    dets = engine.infer_batch(imgs)
+    assert len(dets) == 5
+    with pytest.raises(ValueError):
+        engine.dispatch_batch(imgs)
