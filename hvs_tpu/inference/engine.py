@@ -170,9 +170,11 @@ class InferenceEngine:
 
         Weights are jit arguments, so this is one atomic reference swap:
         in-flight requests finish on the old weights, the next request sees
-        the new ones, and the compiled programs are reused as long as the
-        parameter tree structure matches (retrace happens automatically if
-        the new model differs structurally).
+        the new ones, and the compiled (AOT-cached) programs are reused as
+        long as the parameter tree structure matches. Swapping in a
+        structurally different model additionally requires
+        :meth:`rebuild_serve_fns` (AOT programs are shape-specialized and do
+        not retrace implicitly).
         """
         self.variables = self._prepare_variables(variables)
 
