@@ -9,6 +9,9 @@ consistency check at rtol 1e-3 (reference :341-360).
 Usage:
     python scripts/export_model.py --format stablehlo --output exports/model.hlo
     python scripts/export_model.py --format all --tiny --image-size 64
+    # Pre-build AOT serve programs (engine cold start: blobs, not retraces):
+    python scripts/export_model.py --format aot --checkpoint ckpt \
+        --aot-buckets 1,4,16 --aot-source-shapes 480x640,416x416
 """
 
 from __future__ import annotations
@@ -23,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser(description="Export the detection model")
-    p.add_argument("--format", choices=["stablehlo", "savedmodel", "weights", "all"],
+    p.add_argument("--format",
+                   choices=["stablehlo", "savedmodel", "weights", "aot", "all"],
                    default="all")
     p.add_argument("--output", default="exports")
     p.add_argument("--checkpoint", default=None)
@@ -31,6 +35,12 @@ def parse_args():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--skip-check", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--aot-buckets", default="1,4,16",
+                   help="batch buckets to pre-build AOT serve programs for")
+    p.add_argument("--aot-source-shapes", default="",
+                   help="comma-separated HxW camera source shapes for the "
+                        "raw-frame (on-device letterbox) path, e.g. "
+                        "480x640,416x416; empty = letterboxed path only")
     return p.parse_args()
 
 
@@ -78,6 +88,28 @@ def main():
         if not args.skip_check:
             entry["consistency"] = exporter.consistency_check(path, batch=args.batch)
         report["stablehlo"] = entry
+
+    if args.format in ("aot", "all"):
+        # Pre-build the engine's AOT serve programs so production engines
+        # cold-start from blobs (tracing costs ~400 s/program on a 1-core
+        # host; deserialization is ~0.1 s). Blobs land in $HVS_AOT_CACHE.
+        buckets = [int(b) for b in args.aot_buckets.split(",") if b]
+        built = []
+        for b in buckets:
+            engine._serve_fn(b)
+            built.append({"bucket": b, "path": "letterboxed"})
+        for spec in filter(None, args.aot_source_shapes.split(",")):
+            h, w = (int(v) for v in spec.lower().split("x"))
+            for b in buckets:
+                engine._serve_fn_raw(b, (h, w))
+                built.append({"bucket": b, "source": [h, w], "path": "raw"})
+        report["aot"] = {
+            "programs": built,
+            "cache_dir": os.environ.get(
+                "HVS_AOT_CACHE",
+                os.path.expanduser("~/.cache/hvs_tpu_aot"),
+            ),
+        }
 
     if args.format in ("savedmodel", "all"):
         path = exporter.export_savedmodel(
