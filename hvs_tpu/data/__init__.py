@@ -16,6 +16,14 @@ from .transforms import (
     rotate_small,
     random_erasing,
 )
+from .device_pipeline import (
+    DeviceData,
+    AugmentConfig,
+    load_coco_arrays,
+    put_device_data,
+    sample_batch,
+    eval_batch,
+)
 from .loader import (
     MHCDataLoader,
     StreamingDataLoader,
@@ -37,6 +45,8 @@ __all__ = [
     "MHCTransformComposer", "AdaptiveAugmentation", "batch_augment_device",
     "mosaic", "mixup", "hflip", "color_jitter", "random_resized_crop",
     "rotate_small", "random_erasing",
+    "DeviceData", "AugmentConfig", "load_coco_arrays", "put_device_data",
+    "sample_batch", "eval_batch",
     "MHCDataLoader", "StreamingDataLoader", "ShardedDataLoader", "default_collate",
     "StreamType", "StreamConfig", "Frame", "RoboticCameraStream",
     "MultiCameraManager",

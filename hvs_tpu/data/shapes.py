@@ -21,9 +21,13 @@ Design notes (what makes it a *detection* benchmark, not a toy):
   * Backgrounds are cluttered: low-frequency color gradients, sensor-style
     noise, and unlabeled distractors (thin lines, small specks) that the
     model must learn to ignore.
-  * 1..6 instances per image with bounded mutual IoU, scales spanning
-    ~1/10 to ~1/3 of the image, so the multi-scale FPN + assignment path is
-    actually exercised.
+  * 2..12 instances per image with bounded mutual IoU (overlap up to 0.4
+    IoU plus draw-order occlusion), so the crowding/NMS path is exercised.
+  * Three explicit size buckets — small (boxes 10-32 px at generation size
+    640, i.e. the COCO "small" area bucket), medium (33-96 px), large
+    (97-205 px) — so AP_small/AP_medium/AP_large are all real numbers
+    (VERDICT r2 item 3: the v1 benchmark had NO small objects; reference
+    difficulty reference: scripts/evaluate.py:129-164 per-size COCO AP).
   * Fully deterministic given ``seed`` (per-image independent RNG streams,
     so regeneration of any subset is stable).
 """
@@ -171,12 +175,33 @@ def _iou_xywh(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union > 0 else 0.0
 
 
+# Size buckets as (probability, lo, hi) of the half-extent as a fraction of
+# the image side. At generation size 640 these give boxes of ~10-32 px
+# (COCO-small), ~33-96 px (COCO-medium), ~97-205 px (COCO-large).
+SIZE_BUCKETS = (
+    (0.30, 0.008, 0.025),
+    (0.40, 0.026, 0.075),
+    (0.30, 0.076, 0.160),
+)
+
+
+def _sample_half_extent(rng: np.random.Generator, size: int) -> float:
+    u = float(rng.uniform())
+    acc = 0.0
+    for p, lo, hi in SIZE_BUCKETS:
+        acc += p
+        if u <= acc:
+            return max(float(rng.uniform(lo, hi)) * size, 3.0)
+    p, lo, hi = SIZE_BUCKETS[-1]
+    return max(float(rng.uniform(lo, hi)) * size, 3.0)
+
+
 def generate_image(
     rng: np.random.Generator,
     size: int = 416,
-    min_shapes: int = 1,
-    max_shapes: int = 6,
-    max_overlap: float = 0.25,
+    min_shapes: int = 2,
+    max_shapes: int = 12,
+    max_overlap: float = 0.40,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One synthetic frame.
 
@@ -188,10 +213,10 @@ def generate_image(
     boxes: List[np.ndarray] = []
     labels: List[int] = []
     for _ in range(n):
-        for _attempt in range(12):
+        for _attempt in range(20):
             cls_id = int(rng.integers(0, len(SHAPE_CLASSES)))
             cls = SHAPE_CLASSES[cls_id]
-            s = float(rng.uniform(0.055, 0.16)) * size  # half-extent
+            s = _sample_half_extent(rng, size)  # half-extent in px
             margin = 1.35 * s + 2
             cx = float(rng.uniform(margin, size - margin))
             cy = float(rng.uniform(margin, size - margin))

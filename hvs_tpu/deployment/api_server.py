@@ -173,6 +173,10 @@ class VisionAPIServer:
         return None
 
     def _detect_sync(self, image: np.ndarray):
+        # Route through the micro-batcher when running (admission control +
+        # cross-request batching); fall back to direct inference otherwise.
+        if getattr(self.engine, "_batcher", None) is not None:
+            return self.engine.submit(image).result()
         return self.engine.infer(image)
 
     def _response_for(self, det, request_id: str, annotated: Optional[str] = None
@@ -204,7 +208,19 @@ class VisionAPIServer:
         if image is None:
             return web.json_response({"error": "no image provided"}, status=400)
         loop = asyncio.get_event_loop()
-        det = await loop.run_in_executor(self.executor, self._detect_sync, image)
+        from ..inference.engine import EngineOverloaded
+
+        try:
+            det = await loop.run_in_executor(
+                self.executor, self._detect_sync, image
+            )
+        except EngineOverloaded as e:
+            # Admission control: bounded queue full -> shed at the edge with
+            # Retry-After instead of queueing into SLA-violating latency.
+            return web.json_response(
+                {"error": "overloaded", "detail": str(e)},
+                status=429, headers={"Retry-After": "1"},
+            )
 
         annotated_b64 = None
         want_annotated = request.query.get("annotated") == "1"

@@ -1,6 +1,6 @@
 """Inference pipeline (reference: src/inference/__init__.py:17-48)."""
 
-from .engine import InferenceEngine, AsyncInferenceEngine, Detections
+from .engine import InferenceEngine, AsyncInferenceEngine, Detections, EngineOverloaded
 from .preprocessing import (
     ImagePreprocessor,
     PreprocessMode,
@@ -36,7 +36,8 @@ from .robot_interface import (
 from .integration_demo import CompleteInferencePipeline
 
 __all__ = [
-    "InferenceEngine", "AsyncInferenceEngine", "Detections",
+    "InferenceEngine", "AsyncInferenceEngine",
+    "EngineOverloaded", "Detections",
     "ImagePreprocessor", "PreprocessMode", "PreprocessResult",
     "VideoStreamer", "CameraManager", "CameraCalibration",
     "DetectionPostprocessor", "NMSFilter", "DetectionTracker", "Track",

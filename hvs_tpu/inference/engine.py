@@ -37,6 +37,46 @@ from ..data.dataset import letterbox
 from ..utils.metrics import InferenceMetrics
 
 
+_CODE_DIGEST: Optional[str] = None
+
+
+def _code_digest() -> str:
+    """Digest of every source file baked into exported serve programs.
+
+    ``jax.export`` blobs freeze the whole forward+decode+NMS computation, so
+    an AOT cache key without a code fingerprint serves STALE program
+    semantics after any model/postprocess change (ADVICE r2, medium). Hashes
+    hvs_tpu/models, hvs_tpu/ops, and this file; computed once per process.
+    """
+    global _CODE_DIGEST
+    if _CODE_DIGEST is None:
+        import hashlib
+        import os as _os
+
+        h = hashlib.sha1()
+        pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        roots = [
+            _os.path.join(pkg_root, "models"),
+            _os.path.join(pkg_root, "ops"),
+            _os.path.abspath(__file__).replace(".pyc", ".py"),
+        ]
+        for root in roots:
+            if _os.path.isfile(root):
+                files = [root]
+            else:
+                files = sorted(
+                    _os.path.join(dp, f)
+                    for dp, _, fs in _os.walk(root)
+                    for f in fs if f.endswith(".py")
+                )
+            for fp in files:
+                h.update(fp.encode())
+                with open(fp, "rb") as f:
+                    h.update(f.read())
+        _CODE_DIGEST = h.hexdigest()
+    return _CODE_DIGEST
+
+
 @dataclass
 class Detections:
     """Host-side detection result for one image (boxes in original pixels)."""
@@ -205,6 +245,14 @@ class InferenceEngine:
             "HVS_AOT_CACHE", _os.path.expanduser("~/.cache/hvs_tpu_aot")
         )
         pp = self.config.postprocessing
+        # Variables tree structure + shapes/dtypes: a checkpoint with a
+        # different tree (e.g. bf16 EMA params) must not reuse a blob traced
+        # for another signature (ADVICE r2).
+        var_sig = tuple(
+            ("/".join(str(getattr(k, "key", k)) for k in path),
+             tuple(leaf.shape), str(leaf.dtype))
+            for path, leaf in jax.tree_util.tree_leaves_with_path(self.variables)
+        )
         key_src = repr((
             tag, repr(self.model_config), self.image_size,
             tuple(example_batch.shape), str(example_batch.dtype),
@@ -215,6 +263,8 @@ class InferenceEngine:
             self.config.preprocessing.pad_color,
             jax.__version__,
             jax.default_backend(),  # blobs bake in the lowering platform
+            _code_digest(),  # code changes invalidate cached programs
+            hashlib.sha1(repr(var_sig).encode()).hexdigest(),
         ))
         path = _os.path.join(
             aot_dir, hashlib.sha1(key_src.encode()).hexdigest() + ".jaxexp"
@@ -223,7 +273,19 @@ class InferenceEngine:
             try:
                 with open(path, "rb") as f:
                     rt = jax.export.deserialize(f.read())
-                return jax.jit(rt.call)
+                # Belt-and-braces: the blob's input signature must match the
+                # CURRENT variables/batch avals, else serve calls would fail
+                # later with opaque signature errors — fall through to a
+                # fresh trace instead (ADVICE r2).
+                expected = [
+                    (tuple(l.shape), str(l.dtype))
+                    for l in jax.tree_util.tree_leaves(
+                        (self.variables, example_batch)
+                    )
+                ]
+                got = [(tuple(a.shape), str(a.dtype)) for a in rt.in_avals]
+                if got == expected:
+                    return jax.jit(rt.call)
             except Exception:
                 pass  # incompatible blob — retrace below
         jit_fn = jax.jit(make_serve())
@@ -337,8 +399,13 @@ class InferenceEngine:
                         x = x[..., ::-1]
                     x = x.astype(jnp.float32) / 255.0
                     if (nh, nw) != (h, w):
+                        # antialias=False matches cv2.INTER_LINEAR, keeping the
+                        # raw-frame path bit-consistent with the host letterbox
+                        # (ADVICE r2: antialias default True caused per-path
+                        # box deltas, 0.9412 vs 0.9418 mAP).
                         x = jax.image.resize(
-                            x, (x.shape[0], nh, nw, 3), method="bilinear"
+                            x, (x.shape[0], nh, nw, 3), method="bilinear",
+                            antialias=False,
                         )
                     if (nh, nw) != (size, size):
                         canvas = jnp.full(
@@ -554,7 +621,12 @@ class InferenceEngine:
     # ------------------------------------------------------------------
     def get_performance_stats(self) -> Dict[str, float]:
         """(reference: engine.py:473-511)"""
-        return self.metrics.summary()
+        stats = self.metrics.summary()
+        if self._batcher is not None:
+            stats.update(
+                {f"batcher_{k}": v for k, v in self._batcher.stats().items()}
+            )
+        return stats
 
     def get_stability_report(self) -> Dict[str, Any]:
         """Constraint satisfaction of the loaded weights
@@ -582,21 +654,68 @@ class InferenceEngine:
         return dict(self._stability_report)
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by ``submit`` when the admission-controlled queue is full and
+    the overload policy is 'reject' (API layer maps this to HTTP 429)."""
+
+
 class _MicroBatcher:
-    """Deadline-flush micro-batching thread (reference: engine.py:389-471)."""
+    """Deadline-flush micro-batching thread with admission control
+    (reference: engine.py:389-471; drop-oldest precedent:
+    reference preprocessing.py:489-497).
+
+    The round-2 sustained benchmark measured p95 latency of 26 s because the
+    queue was unbounded: every request eventually completed, each slower than
+    the last. A bounded queue + shedding keeps the latency of ACCEPTED
+    requests within the SLA no matter the offered load.
+    """
 
     def __init__(self, engine: InferenceEngine):
         self.engine = engine
-        self.queue: "queue.Queue" = queue.Queue()
+        perf = engine.config.performance
+        self.max_batch = max(perf.batch_buckets)
+        depth = perf.max_queue_depth or 2 * self.max_batch
+        self.queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.policy = perf.overload_policy
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self.max_delay_s = engine.config.performance.max_queue_delay_ms / 1e3
-        self.max_batch = max(engine.config.performance.batch_buckets)
+        self.max_delay_s = perf.max_queue_delay_ms / 1e3
+        self.submitted = 0
+        self.rejected = 0
+        self.shed = 0
 
     def submit(self, image: np.ndarray) -> "Future[Detections]":
         fut: "Future[Detections]" = Future()
-        self.queue.put((image, fut))
-        return fut
+        self.submitted += 1
+        while True:
+            try:
+                self.queue.put_nowait((image, fut))
+                return fut
+            except queue.Full:
+                if self.policy == "shed_oldest":
+                    try:
+                        _, old_fut = self.queue.get_nowait()
+                        self.shed += 1
+                        if not old_fut.done():
+                            old_fut.set_exception(
+                                EngineOverloaded("request shed under overload")
+                            )
+                    except queue.Empty:
+                        continue
+                else:
+                    self.rejected += 1
+                    raise EngineOverloaded(
+                        f"queue full ({self.queue.maxsize} pending); retry later"
+                    )
+
+    def stats(self) -> Dict[str, float]:
+        return {
+            "submitted": self.submitted,
+            "rejected": self.rejected,
+            "shed": self.shed,
+            "queue_depth": self.queue.qsize(),
+            "queue_capacity": self.queue.maxsize,
+        }
 
     def start(self) -> None:
         def finalize(pending) -> None:

@@ -7,10 +7,12 @@ from .mesh import (
     replicated,
     shard_batch,
     param_sharding,
+    sharded_fraction,
     DEFAULT_PARAM_RULES,
 )
 
 __all__ = [
+    "sharded_fraction",
     "initialize_distributed",
     "make_mesh",
     "batch_sharding",

@@ -31,12 +31,15 @@ from .stability import (
     StabilityThresholds,
     StabilityMonitor,
     TrainingStabilityMetrics,
+    make_eig_telemetry,
 )
 from .trainer import (
     TrainState,
     TrainerConfig,
     make_train_step,
     make_eval_step,
+    make_train_chunk,
+    make_val_chunk,
     ManifoldConstrainedTrainer,
     global_norm,
 )
@@ -62,6 +65,9 @@ __all__ = [
     "StabilityThresholds",
     "StabilityMonitor",
     "TrainingStabilityMetrics",
+    "make_eig_telemetry",
+    "make_train_chunk",
+    "make_val_chunk",
     "TrainState",
     "TrainerConfig",
     "make_train_step",

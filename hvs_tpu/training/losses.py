@@ -239,24 +239,33 @@ def manifold_regularization_loss(
     ds_weight: float = 1.0,
     spectral_weight: float = 0.1,
     smooth_weight: float = 0.01,
+    sk_iters: int = 20,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Soft manifold penalty over all mHC residual matrices, inside the step
     (reference: ManifoldRegularizationLoss loss_functions.py:491-586 + the
     trainer's Sinkhorn/eigvalsh walk mhc_trainer.py:299-340, amortized).
 
-    Applies to the *constrained* matrix implied by the raw parameter:
-    sigma-normalized rows/cols near 1, spectral bound near <= 1, smoothness on
-    the raw values.
+    Penalizes the TRUE finite-iteration Sinkhorn projection the forward pass
+    uses — not a softmax proxy (reference re-projects the same way,
+    mhc_trainer.py:299-340). ``sinkhorn_log`` makes row sums exact by
+    construction, so the residual doubly-stochastic error after ``sk_iters``
+    alternations lives entirely in the column sums; the penalty drives
+    ``H_res_raw`` toward matrices whose projection converges within the
+    iteration budget — which is exactly the ``ds_error`` the stability
+    telemetry logs (models/layers.py monitor path). Spectral bound and raw
+    smoothness terms follow the reference's ManifoldRegularizationLoss.
     """
+    from ..ops.sinkhorn import sinkhorn_log
+
     ds_total = 0.0
     spec_total = 0.0
     smooth_total = 0.0
     count = 0
     for _, leaf in iter_h_res_leaves(params):
-        m = jax.nn.softmax(leaf.astype(jnp.float32), axis=-1)  # cheap row-stochastic proxy
-        col = jnp.sum(m, axis=-2)
+        proj = sinkhorn_log(leaf.astype(jnp.float32), n_iters=sk_iters)
+        col = jnp.sum(proj, axis=-2)
         ds_total = ds_total + jnp.mean((col - 1.0) ** 2)
-        spec = _spectral_norm_bound(m)
+        spec = _spectral_norm_bound(proj)
         spec_total = spec_total + jax.nn.relu(spec - 1.0) ** 2
         dr = leaf[1:, :] - leaf[:-1, :]
         dc = leaf[:, 1:] - leaf[:, :-1]

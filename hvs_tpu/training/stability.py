@@ -162,6 +162,42 @@ class StabilityMonitor:
         return path
 
 
+def make_eig_telemetry(sk_iters: int = 20):
+    """Build ONE jitted function computing the eigenvalue spectrum summary of
+    every constrained residual matrix (reference telemetry:
+    src/models/manifold_layers.py:282-316 runs eigvalsh per layer per step;
+    here it is polled at low frequency from the host loop — one compiled call
+    for all layers).
+
+    Returns ``fn(params) -> {"max_eigenvalue", "min_eigenvalue",
+    "ds_error_max_proj"}`` where the DS error is measured on the same
+    finite-iteration projection the forward pass uses.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.sinkhorn import doubly_stochastic_error, sinkhorn_log
+    from .losses import iter_h_res_leaves
+
+    @jax.jit
+    def eig_fn(params):
+        maxes, mins, ds = [], [], []
+        for _, leaf in iter_h_res_leaves(params):
+            h = sinkhorn_log(leaf.astype(jnp.float32), n_iters=sk_iters)
+            sym = 0.5 * (h + h.T)
+            e = jnp.linalg.eigvalsh(sym)
+            maxes.append(e[-1])
+            mins.append(e[0])
+            ds.append(doubly_stochastic_error(h))
+        return {
+            "max_eigenvalue": jnp.max(jnp.stack(maxes)),
+            "min_eigenvalue": jnp.min(jnp.stack(mins)),
+            "ds_error_max_proj": jnp.max(jnp.stack(ds)),
+        }
+
+    return eig_fn
+
+
 class TrainingStabilityMetrics:
     """Rolling aggregate tracker (reference: stability_monitor.py:508-689)."""
 

@@ -30,7 +30,7 @@ import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -148,7 +148,9 @@ def make_train_step(
             det_loss, det_metrics = mhc_yolo_loss(
                 outputs["detection"]["raw"], targets, config.num_classes
             )
-            reg_loss, reg_metrics = manifold_regularization_loss(params)
+            reg_loss, reg_metrics = manifold_regularization_loss(
+                params, sk_iters=config.sk_iters
+            )
             loss = det_loss + config.manifold_reg_alpha * reg_loss
             metrics = {**det_metrics, **reg_metrics, "detection_loss": det_loss}
             return loss, (metrics, coll.get("stability", {}))
@@ -194,6 +196,63 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_train_chunk(
+    model,
+    config: TrainerConfig,
+    batch_size: int,
+    out_size: int,
+    chunk_steps: int,
+    aug=None,
+    augment: bool = True,
+) -> Callable:
+    """``lax.scan`` over ``chunk_steps`` train steps with ON-DEVICE batch
+    sampling/augmentation — the host is out of the hot loop entirely.
+
+    The reference ships every batch host->GPU (src/data/dataloader.py); on a
+    thin-host TPU deployment that caps throughput (measured 1.93 steps/s in
+    the round-2 run, device mostly idle). One chunk = one dispatch = one
+    small stacked-metrics pull.
+    """
+    from ..data.device_pipeline import AugmentConfig, sample_batch
+
+    aug = aug if aug is not None else AugmentConfig()
+    step_fn = make_train_step(model, config)
+
+    def chunk(state: TrainState, data, rng: jax.Array):
+        def body(state, _):
+            step_rng = jax.random.fold_in(rng, state.step)
+            batch = sample_batch(
+                data, step_rng, batch_size, out_size, aug, augment=augment
+            )
+            state, metrics = step_fn(state, batch, step_rng)
+            return state, metrics
+
+        state, stacked = jax.lax.scan(body, state, xs=None, length=chunk_steps)
+        return state, stacked
+
+    return chunk
+
+
+def make_val_chunk(
+    model, config: TrainerConfig, batch_size: int, out_size: int, n_batches: int
+) -> Callable:
+    """Scan the on-device validation set once; returns mean val loss."""
+    from ..data.device_pipeline import eval_batch
+
+    eval_step = make_eval_step(model, config)
+
+    def val_chunk(params, data):
+        def body(i, acc):
+            batch = eval_batch(data, i * batch_size, batch_size, out_size)
+            m = eval_step(params, batch)
+            return acc + m["val_loss"]
+
+        total = jax.lax.fori_loop(0, n_batches, body, jnp.zeros([], jnp.float32))
+        return total / n_batches
+
+    return val_chunk
 
 
 def make_eval_step(model, config: TrainerConfig) -> Callable:
@@ -390,6 +449,142 @@ class ManifoldConstrainedTrainer:
         self._stab_scale = max(self._stab_scale * 0.5, 1e-3)
         self._sync_lr_scale()
         self.monitor.record_correction(float(self.state.lr_scale))
+
+    # ------------------------------------------------------------------
+    def train_chunked(
+        self,
+        data,
+        total_steps: int,
+        batch_size: int = 16,
+        out_sizes: Sequence[int] = (416,),
+        batch_sizes: Optional[Dict[int, int]] = None,
+        chunk_steps: int = 100,
+        aug=None,
+        val_data=None,
+        val_out_size: Optional[int] = None,
+        val_batch_size: int = 8,
+        val_every_chunks: int = 10,
+        eig_every_chunks: int = 10,
+        progress_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
+    ) -> Dict[str, Any]:
+        """On-device training loop: the dataset is HBM-resident (`DeviceData`),
+        batches are sampled+augmented inside a scanned chunk, and the host
+        only sees a small stacked-metrics array per chunk.
+
+        Multi-resolution training: one compiled chunk per entry in
+        ``out_sizes``, cycled round-robin per chunk — the TPU-shaped
+        equivalent of the reference's multi-resolution table
+        (reference: PROJECT.md:964-969).
+
+        Stability monitoring runs per chunk on the full per-step series (no
+        window-max approximation needed — every step's metrics come back),
+        with the same LR-halving corrections as ``train_epoch``.
+        """
+        from .stability import make_eig_telemetry
+
+        assert self.state is not None, "call init_state first"
+        batch_sizes = dict(batch_sizes or {})
+        chunks = {}
+        for o in out_sizes:
+            b = batch_sizes.get(o, batch_size)
+            chunks[o] = jax.jit(
+                make_train_chunk(
+                    self.model, self.config, b, o, chunk_steps, aug=aug
+                ),
+                donate_argnums=(0,),
+            )
+        val_chunk = None
+        if val_data is not None:
+            vo = val_out_size or max(out_sizes)
+            n_val_batches = int(val_data.images.shape[0]) // val_batch_size
+            val_chunk = jax.jit(
+                make_val_chunk(
+                    self.model, self.config, val_batch_size, vo, n_val_batches
+                )
+            )
+        eig_fn = make_eig_telemetry(self.config.sk_iters)
+
+        n_chunks = total_steps // chunk_steps
+        t_start = time.time()
+        last_eig: Dict[str, float] = {}
+        for ci in range(n_chunks):
+            o = out_sizes[ci % len(out_sizes)]
+            rng = jax.random.fold_in(self.rng, ci)
+            self.state, stacked = chunks[o](self.state, data, rng)
+            host = jax.device_get(stacked)  # ONE pull per chunk
+            host = {k: np.asarray(v) for k, v in host.items()}
+            step_now = int(self.state.step)
+            k = host["loss"].shape[0]
+            first_step = step_now - k + 1
+
+            # Per-step JSONL rows (same schema as train_epoch's logging).
+            if self.config.metrics_log is not None:
+                for i in range(k):
+                    row = {kk: float(host[kk][i]) for kk in (
+                        "loss", "grad_norm", "detection_loss", "ds_error_max",
+                        "signal_ratio_mean",
+                    ) if kk in host}
+                    self._log_step_metrics(first_step + i, row)
+
+            # Stability check on the chunk: spike-prone scalars use the chunk
+            # MAX (exact — full series available), loss uses the chunk mean.
+            check = {
+                "loss": float(np.nanmean(host["loss"])),
+                "grad_norm": float(np.nanmax(host["grad_norm"])),
+            }
+            for kk in ("ds_error_max", "signal_ratio_mean"):
+                if kk in host:
+                    check[kk] = float(np.nanmax(host[kk]))
+            if not np.all(np.isfinite(host["loss"])):
+                check["loss"] = float("nan")
+            if eig_every_chunks and ci % eig_every_chunks == 0:
+                last_eig = {
+                    k2: float(v) for k2, v in
+                    jax.device_get(eig_fn(self.state.params)).items()
+                }
+                check.update(last_eig)
+            report = self.monitor.check_stability(check)
+            if self.manifold_sched is not None:
+                self.manifold_sched.step(check)
+                self._sync_lr_scale()
+            if not report["is_stable"]:
+                self._apply_stability_corrections(report)
+            elif self._stab_scale < 1.0:
+                self._stab_scale = min(self._stab_scale * 1.25, 1.0)
+                self._sync_lr_scale()
+
+            # Validation / best checkpoint / periodic checkpoint.
+            val_loss = None
+            if val_chunk is not None and (ci + 1) % val_every_chunks == 0:
+                val_loss = float(val_chunk(self.eval_params(), val_data))
+                self.history["val_loss"].append(val_loss)
+                if val_loss < self.best_val_loss:
+                    self.best_val_loss = val_loss
+                    self.save_checkpoint("best")
+            if (
+                self.config.checkpoint_every_steps
+                and step_now // self.config.checkpoint_every_steps
+                > first_step // self.config.checkpoint_every_steps
+            ):
+                self.save_checkpoint(f"step_{step_now}")
+            self.history["train_loss"].append(float(np.nanmean(host["loss"])))
+
+            if progress_fn is not None:
+                progress_fn({
+                    "chunk": ci, "step": step_now, "out_size": o,
+                    "loss": check["loss"],
+                    "grad_norm_max": check["grad_norm"],
+                    "ds_error_max": check.get("ds_error_max"),
+                    "val_loss": val_loss,
+                    "lr_scale": float(self.state.lr_scale),
+                    "steps_per_sec": step_now / max(time.time() - t_start, 1e-9),
+                    **{f"eig_{k2}": v for k2, v in last_eig.items()},
+                })
+        return {
+            "history": self.history,
+            "best_val_loss": self.best_val_loss,
+            "steps_per_sec": (n_chunks * chunk_steps) / max(time.time() - t_start, 1e-9),
+        }
 
     # ------------------------------------------------------------------
     def eval_params(self, use_ema: bool = True):

@@ -154,25 +154,38 @@ def serve(args) -> None:
         server.wait()
 
 
-def apply_config_defaults(args, subparser, path):
+def apply_config_defaults(args, subparser, path, argv=None):
     """Overlay YAML defaults (configs/deployment.yaml) under CLI flags.
 
-    Precedence: explicit CLI flag > YAML value > argparse default — implemented
-    by only filling attributes still at their argparse default
-    (reference: scripts/deploy.py reads configs/deployment.yaml for image
-    tags/endpoints; same layering, TPU targets).
+    Precedence: explicit CLI flag > YAML value > argparse default. A flag
+    counts as explicit when it APPEARS on the command line (checked against
+    ``argv``), not when its value differs from the argparse default — so
+    ``--tag hvs-tpu:latest`` passed explicitly is never overridden by YAML
+    (ADVICE r2). The default config path resolves relative to the repo root,
+    not the CWD, so running from elsewhere still finds the YAML layer.
     """
+    if path and not os.path.isabs(path) and not os.path.exists(path):
+        candidate = os.path.join(REPO_ROOT, path)
+        if os.path.exists(candidate):
+            path = candidate
     if not path or not os.path.exists(path):
         return args
+    import sys as _sys
+
     import yaml
 
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    explicit = set()
+    for a in subparser._actions:
+        for opt in a.option_strings:
+            if any(tok == opt or tok.startswith(opt + "=") for tok in argv):
+                explicit.add(a.dest)
     with open(path) as f:
         cfg = yaml.safe_load(f) or {}
     section = cfg.get(args.action, {}) or {}
-    defaults = {a.dest: a.default for a in subparser._actions}
     for key, value in section.items():
         attr = key.replace("-", "_")
-        if hasattr(args, attr) and getattr(args, attr) == defaults.get(attr):
+        if hasattr(args, attr) and attr not in explicit:
             setattr(args, attr, value)
     return args
 

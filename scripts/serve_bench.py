@@ -49,6 +49,20 @@ def parse_args():
     p.add_argument("--bucket", type=int, default=16,
                    help="max batch bucket (large buckets amortize the "
                         "tunneled device's fixed per-batch transfer cost)")
+    p.add_argument("--mode", choices=["closed", "rated", "overload"],
+                   default="closed",
+                   help="closed: max-throughput closed loop; rated: open-loop "
+                        "arrivals at --rate FPS with SLA accounting; overload: "
+                        "arrivals far above capacity, asserting the bounded "
+                        "queue sheds instead of queueing into SLA violation")
+    p.add_argument("--rate", type=float, default=30.0,
+                   help="open-loop arrival rate (rated/overload modes)")
+    p.add_argument("--policy", choices=["reject", "shed_oldest"],
+                   default="reject")
+    p.add_argument("--queue-depth", type=int, default=0,
+                   help="admission-control queue depth (0 = 2x max bucket)")
+    p.add_argument("--deadline-ms", type=float, default=8.0,
+                   help="micro-batch flush deadline")
     return p.parse_args()
 
 
@@ -90,7 +104,9 @@ def main():
     # batches; the small one covers the ramp/tail. (Each bucket is one
     # AOT-cached program.)
     icfg.performance.batch_buckets = (max(args.bucket // 4, 1), args.bucket)
-    icfg.performance.max_queue_delay_ms = 8.0
+    icfg.performance.max_queue_delay_ms = args.deadline_ms
+    icfg.performance.max_queue_depth = args.queue_depth
+    icfg.performance.overload_policy = args.policy
     if args.checkpoint:
         icfg.checkpoint_path = args.checkpoint
     if args.tiny:
@@ -133,26 +149,70 @@ def main():
         finally:
             sem.release()
 
-    # Sustained closed-loop load: decode on the submitting thread (host cost
-    # measured), completion collected via callbacks.
     from concurrent.futures import ThreadPoolExecutor
 
+    from hvs_tpu.inference import EngineOverloaded
+
     collector = ThreadPoolExecutor(max_workers=2)
+    shed_or_rejected = 0
     t0 = time.perf_counter()
     i = 0
     submitted = 0
-    while time.perf_counter() - t0 < args.seconds:
-        sem.acquire()
-        blob = blobs[i % n_blobs]
-        i += 1
-        t_submit = time.perf_counter()
-        img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
-        fut = engine.submit(img)
-        submitted += 1
-        collector.submit(collect, fut, t_submit)
-    # Drain.
-    for _ in range(args.inflight):
-        sem.acquire()
+
+    def collect_open(fut, t_submit):
+        """Open-loop completion: shed requests count separately, not as errors."""
+        nonlocal shed_or_rejected
+        try:
+            fut.result(timeout=120)
+            with lat_lock:
+                latencies.append(time.perf_counter() - t_submit)
+        except EngineOverloaded:
+            with lat_lock:
+                shed_or_rejected += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    if args.mode == "closed":
+        # Max-throughput closed loop: decode on the submitting thread (host
+        # cost measured), completion collected via callbacks, semaphore
+        # backpressure.
+        while time.perf_counter() - t0 < args.seconds:
+            sem.acquire()
+            blob = blobs[i % n_blobs]
+            i += 1
+            t_submit = time.perf_counter()
+            img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+            fut = engine.submit(img)
+            submitted += 1
+            collector.submit(collect, fut, t_submit)
+        for _ in range(args.inflight):
+            sem.acquire()
+    else:
+        # Open-loop arrivals at a fixed rate: submissions happen ON SCHEDULE
+        # whether or not earlier requests completed — the honest way to
+        # measure latency at a rated load and behavior under overload
+        # (closed loops self-throttle and hide queue growth).
+        interval = 1.0 / args.rate
+        next_t = t0
+        while time.perf_counter() - t0 < args.seconds:
+            now = time.perf_counter()
+            if now < next_t:
+                time.sleep(min(next_t - now, 0.01))
+                continue
+            next_t += interval
+            blob = blobs[i % n_blobs]
+            i += 1
+            t_submit = time.perf_counter()
+            img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+            try:
+                fut = engine.submit(img)
+            except EngineOverloaded:
+                shed_or_rejected += 1
+                continue
+            finally:
+                submitted += 1
+            collector.submit(collect_open, fut, t_submit)
+        time.sleep(2.0)  # drain tail
     elapsed = time.perf_counter() - t0
     engine.stop_batcher()
     collector.shutdown(wait=True)
@@ -160,14 +220,29 @@ def main():
     assert not errors, errors[:3]
     lat = np.asarray(sorted(latencies)) * 1e3
     completed = len(lat)
+    latency_target = icfg.performance.latency_target_ms
     report = {
+        "mode": args.mode,
         "sustained_fps_host_inclusive": round(completed / elapsed, 2),
+        "offered_rate_fps": (None if args.mode == "closed" else args.rate),
         "seconds": round(elapsed, 2),
         "frames": completed,
+        "submitted": submitted,
+        "shed_or_rejected": shed_or_rejected,
         "image_size": args.image_size,
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
         "p95_ms": round(float(np.percentile(lat, 95)), 2),
         "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "mean_ms": round(float(np.mean(lat)), 2),
+        # Reference CI SLA: mean <50 ms, p95 <100 ms
+        # (reference src/tests/test_inference.py:127-154).
+        "meets_latency_target": round(
+            float(np.mean(lat <= 2 * latency_target)), 4
+        ),
+        "sla": {"mean_ms_lt": latency_target, "p95_ms_lt": 2 * latency_target,
+                "mean_ok": bool(np.mean(lat) < latency_target),
+                "p95_ok": bool(np.percentile(lat, 95) < 2 * latency_target)},
+        "overload_policy": args.policy,
         "path": "jpeg->decode->letterbox->microbatch->device(fwd+decode+nms)->boxes",
         "engine_stats": engine.get_performance_stats(),
     }

@@ -160,7 +160,9 @@ def main():
                  len(dm.train_dataset), len(dm.val_dataset),
                  mcfg.detection.num_classes)
 
-    model = mcfg.build_model()
+    # monitor=True: sow per-layer DS-error / signal-ratio telemetry so the
+    # run records the constraint actually holding (VERDICT r2 item 2).
+    model = mcfg.build_model(monitor=True)
     trainer = ManifoldConstrainedTrainer(
         model,
         tcfg.trainer_config(num_classes=mcfg.detection.num_classes),

@@ -12,6 +12,7 @@ from hvs_tpu.parallel import (
     param_sharding,
     replicated,
     shard_batch,
+    sharded_fraction,
 )
 
 
@@ -55,6 +56,30 @@ def test_param_sharding_collapses_without_model_axis():
     params = {"attn": {"qkv": {"kernel": jnp.ones((16, 48))}}}
     shardings = param_sharding(mesh, params)
     assert shardings["attn"]["qkv"]["kernel"].spec == P()
+
+
+def test_tp_rules_match_real_model_params():
+    """The TP rules must shard a meaningful fraction of the REAL model's
+    parameter bytes under n_model=2 — this is the regression guard for the
+    round-2 finding that 'mlp_in/kernel' style rules silently matched nothing
+    (hvs_tpu/parallel/mesh.py rules vs models/layers.py param names)."""
+    from hvs_tpu.config import ModelConfig
+
+    mcfg = ModelConfig()
+    mcfg.detection.num_classes = 8
+    model = mcfg.build_model()
+    # eval_shape: full flagship param TREE without compiling anything.
+    shapes = jax.eval_shape(
+        lambda k, x: model.init(k, x, task="detection"),
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )["params"]
+    mesh = make_mesh(n_data=4, n_model=2)
+    shardings = param_sharding(mesh, shapes)
+    frac = sharded_fraction(shardings, shapes)
+    # qkv/proj (ViT attention) + mHC mlp_in/mlp_out kernels + H_pre/H_post.
+    assert frac["sharded_params"] >= 40, frac
+    assert frac["sharded_bytes_fraction"] >= 0.25, frac
 
 
 def test_psum_gradient_allreduce_semantics():
