@@ -40,7 +40,11 @@ class PostprocessingConfig:
     calibration_temperature: float = 1.0
     min_box_size: float = 2.0
     max_aspect_ratio: float = 20.0
-    tracking: str = "none"  # none | iou | sort
+    tracking: str = "none"  # none | iou | appearance
+    # Return an L2-normalized ROI-pooled appearance embedding per detection
+    # (device-side, from the fused small scale) — feeds AppearanceTracker
+    # (reference DeepSORT attempt: src/inference/postprocessing.py:850-1119).
+    return_embeddings: bool = False
 
 
 @dataclass

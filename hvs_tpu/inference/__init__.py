@@ -13,6 +13,7 @@ from .postprocessing import (
     DetectionPostprocessor,
     NMSFilter,
     DetectionTracker,
+    AppearanceTracker,
     Track,
 )
 from .visualizer import (
@@ -40,7 +41,8 @@ __all__ = [
     "EngineOverloaded", "Detections",
     "ImagePreprocessor", "PreprocessMode", "PreprocessResult",
     "VideoStreamer", "CameraManager", "CameraCalibration",
-    "DetectionPostprocessor", "NMSFilter", "DetectionTracker", "Track",
+    "DetectionPostprocessor", "NMSFilter", "DetectionTracker",
+    "AppearanceTracker", "Track",
     "DetectionVisualizer", "PerformanceMonitor", "DebugVisualizer",
     "class_palette",
     "Protocol", "RobotConfig", "DetectionCommand", "RobotCommand",

@@ -37,6 +37,21 @@ from ..data.dataset import letterbox
 from ..utils.metrics import InferenceMetrics
 
 
+def _roi_embeddings(model_out, boxes_norm):
+    """Per-detection appearance embedding: ROI-pool the fused small scale at
+    the final NMS boxes and L2-normalize — the device-side feature DeepSORT
+    needs (reference tries SORT/DeepSORT with an import guard,
+    src/inference/postprocessing.py:850-1119; here the embedding comes from
+    the SAME forward pass, no second network)."""
+    import jax.numpy as jnp
+
+    from ..models.rag import roi_pool_bilinear
+
+    fs = model_out["fused_features"]["fused_small"].astype(jnp.float32)
+    emb = roi_pool_bilinear(fs, boxes_norm)  # [B, K, C]
+    return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
+
+
 _CODE_DIGEST: Optional[str] = None
 
 
@@ -87,6 +102,7 @@ class Detections:
     class_names: List[str]
     latency_ms: float
     image_size: Tuple[int, int]  # (h, w)
+    embeddings: Optional[np.ndarray] = None  # [K, C] L2-normalized (optional)
 
     def __len__(self) -> int:
         return len(self.boxes)
@@ -257,7 +273,7 @@ class InferenceEngine:
             tag, repr(self.model_config), self.image_size,
             tuple(example_batch.shape), str(example_batch.dtype),
             pp.score_threshold, pp.iou_threshold, pp.max_detections,
-            pp.pre_nms_top_k, pp.nms_method,
+            pp.pre_nms_top_k, pp.nms_method, pp.return_embeddings,
             self.config.preprocessing.normalize,
             self.config.preprocessing.bgr_to_rgb,
             self.config.preprocessing.pad_color,
@@ -341,7 +357,12 @@ class InferenceEngine:
                         pre_nms_top_k=pp.pre_nms_top_k,
                         nms_method=pp.nms_method,
                     )
-                    return det.boxes, det.scores, det.classes, det.num_valid
+                    result = (det.boxes, det.scores, det.classes, det.num_valid)
+                    if pp.return_embeddings:
+                        result = result + (
+                            _roi_embeddings(out, det.boxes),
+                        )
+                    return result
 
                 return serve
 
@@ -425,7 +446,12 @@ class InferenceEngine:
                         pre_nms_top_k=pp.pre_nms_top_k,
                         nms_method=pp.nms_method,
                     )
-                    return det.boxes, det.scores, det.classes, det.num_valid
+                    result = (det.boxes, det.scores, det.classes, det.num_valid)
+                    if pp.return_embeddings:
+                        result = result + (
+                            _roi_embeddings(out, det.boxes),
+                        )
+                    return result
 
                 return serve
 
@@ -469,7 +495,8 @@ class InferenceEngine:
         )
 
     def _postprocess_host(
-        self, boxes, scores, classes, num_valid, scale, pad, orig_hw, latency_s
+        self, boxes, scores, classes, num_valid, scale, pad, orig_hw, latency_s,
+        embeddings=None,
     ) -> Detections:
         k = int(num_valid)
         b = np.asarray(boxes[:k], np.float32) * self.image_size
@@ -493,9 +520,12 @@ class InferenceEngine:
             self.class_names[c] if 0 <= c < len(self.class_names) else str(c)
             for c in cls
         ]
+        emb = None
+        if embeddings is not None:
+            emb = np.asarray(embeddings[:k], np.float32)[keep]
         return Detections(
             boxes=b, scores=s, classes=cls, class_names=names,
-            latency_ms=latency_s * 1e3, image_size=orig_hw,
+            latency_ms=latency_s * 1e3, image_size=orig_hw, embeddings=emb,
         )
 
     # ------------------------------------------------------------------
@@ -579,17 +609,16 @@ class InferenceEngine:
         # with the NEXT batch's host work.
         batch = jax.device_put(batch)
         jax.block_until_ready(batch)
-        boxes, scores, classes, num_valid = fn(variables, batch)
         return {
             "t0": t0, "n": n, "meta": meta,
-            "device": (boxes, scores, classes, num_valid),
+            "device": fn(variables, batch),
         }
 
     def finalize_batch(self, handle: Dict[str, Any]) -> List[Detections]:
         """Block on a dispatched batch and split per-image results."""
-        boxes, scores, classes, num_valid = (
-            np.asarray(x) for x in handle["device"]
-        )
+        device = [np.asarray(x) for x in handle["device"]]
+        boxes, scores, classes, num_valid = device[:4]
+        emb = device[4] if len(device) > 4 else None
         latency = time.perf_counter() - handle["t0"]
         n = handle["n"]
         self.metrics.record(latency, batch_size=n)
@@ -597,6 +626,7 @@ class InferenceEngine:
             self._postprocess_host(
                 boxes[i], scores[i], classes[i], num_valid[i],
                 *handle["meta"][i], latency,
+                embeddings=None if emb is None else emb[i],
             )
             for i in range(n)
         ]

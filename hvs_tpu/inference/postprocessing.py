@@ -170,6 +170,126 @@ class DetectionTracker:
         self.tracks.clear()
 
 
+class AppearanceTracker:
+    """DeepSORT-style tracker: appearance embeddings + IoU gating + Hungarian
+    assignment (reference attempts SORT/DeepSORT with an IoU fallback,
+    src/inference/postprocessing.py:850-1119; here the embedding is the
+    engine's device-side ROI feature — ``Detections.embeddings`` via
+    ``PostprocessingConfig.return_embeddings`` — so no second network runs).
+
+    Cost = ``appearance_weight * cosine_distance + (1 - w) * (1 - IoU)``;
+    pairs are gated out when the cosine distance exceeds ``max_cosine_distance``
+    AND IoU is below ``iou_gate`` (either signal can rescue a match — occluded
+    re-appearances match on appearance, embedding drift matches on motion).
+    Track embeddings update by EMA. Falls back to pure-IoU greedy matching
+    when detections carry no embeddings.
+    """
+
+    def __init__(
+        self,
+        max_cosine_distance: float = 0.35,
+        iou_gate: float = 0.2,
+        appearance_weight: float = 0.6,
+        embedding_momentum: float = 0.8,
+        max_age: int = 10,
+        min_hits: int = 2,
+    ):
+        self.max_cosine_distance = max_cosine_distance
+        self.iou_gate = iou_gate
+        self.appearance_weight = appearance_weight
+        self.momentum = embedding_momentum
+        self.max_age = max_age
+        self.min_hits = min_hits
+        self.tracks: List[Track] = []
+        self._embeddings: Dict[int, np.ndarray] = {}
+        self._next_id = itertools.count(1)
+        self._iou_fallback = DetectionTracker(max_age=max_age, min_hits=min_hits)
+
+    def update(
+        self,
+        boxes: np.ndarray,
+        scores: np.ndarray,
+        classes: np.ndarray,
+        embeddings: Optional[np.ndarray] = None,
+    ) -> List[Track]:
+        if embeddings is None:
+            # Mirror the reference's graceful degradation to the IoU tracker.
+            self._iou_fallback.tracks = self.tracks
+            out = self._iou_fallback.update(boxes, scores, classes)
+            self.tracks = self._iou_fallback.tracks
+            return out
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        emb = np.asarray(embeddings, np.float32)
+        if len(boxes):
+            emb = emb.reshape(len(boxes), -1)
+            emb = emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
+
+        matched_tracks: set = set()
+        matched_dets: set = set()
+        if self.tracks and len(boxes):
+            track_boxes = np.stack([t.box for t in self.tracks])
+            track_emb = np.stack(
+                [self._embeddings[t.track_id] for t in self.tracks]
+            )
+            iou = _np_iou(track_boxes, boxes)
+            cos_dist = 1.0 - track_emb @ emb.T  # [T, D]
+            cost = (
+                self.appearance_weight * cos_dist
+                + (1.0 - self.appearance_weight) * (1.0 - iou)
+            )
+            # Gate: a pair is inadmissible only when BOTH signals fail.
+            gate = (cos_dist > self.max_cosine_distance) & (iou < self.iou_gate)
+            # Class consistency.
+            track_cls = np.asarray([t.class_id for t in self.tracks])
+            gate |= track_cls[:, None] != np.asarray(classes)[None, :]
+            BIG = 1e6
+            cost = np.where(gate, BIG, cost)
+            from scipy.optimize import linear_sum_assignment
+
+            rows, cols = linear_sum_assignment(cost)
+            for ti, di in zip(rows, cols):
+                if cost[ti, di] >= BIG:
+                    continue
+                t = self.tracks[ti]
+                t.box = boxes[di]
+                t.score = float(scores[di])
+                t.hits += 1
+                t.age = 0
+                t.history.append(boxes[di])
+                tid = t.track_id
+                mixed = (
+                    self.momentum * self._embeddings[tid]
+                    + (1.0 - self.momentum) * emb[di]
+                )
+                self._embeddings[tid] = mixed / (np.linalg.norm(mixed) + 1e-6)
+                matched_tracks.add(ti)
+                matched_dets.add(di)
+
+        for di in range(len(boxes)):
+            if di not in matched_dets:
+                tid = next(self._next_id)
+                self.tracks.append(
+                    Track(
+                        track_id=tid, box=boxes[di], score=float(scores[di]),
+                        class_id=int(classes[di]), history=[boxes[di]],
+                    )
+                )
+                self._embeddings[tid] = emb[di]
+        n_new = sum(1 for di in range(len(boxes)) if di not in matched_dets)
+        for ti in range(len(self.tracks) - n_new):
+            if ti not in matched_tracks:
+                self.tracks[ti].age += 1
+        dead = [t.track_id for t in self.tracks if t.age > self.max_age]
+        for tid in dead:
+            self._embeddings.pop(tid, None)
+        self.tracks = [t for t in self.tracks if t.age <= self.max_age]
+        return [t for t in self.tracks if t.hits >= self.min_hits]
+
+    def reset(self) -> None:
+        self.tracks.clear()
+        self._embeddings.clear()
+
+
 class DetectionPostprocessor:
     """Host-side postprocessing pipeline
     (reference: DetectionPostprocessor, src/inference/postprocessing.py:114-426).
@@ -197,7 +317,10 @@ class DetectionPostprocessor:
         self.min_box_size = min_box_size
         self.max_aspect_ratio = max_aspect_ratio
         self.scale_weights = scale_weights or {}
-        self.tracker = DetectionTracker() if tracking != "none" else None
+        self.tracker = (
+            AppearanceTracker() if tracking in ("appearance", "deepsort")
+            else DetectionTracker() if tracking != "none" else None
+        )
 
     # ------------------------------------------------------------------
     def extract(self, outputs: Any) -> Tuple[np.ndarray, np.ndarray]:

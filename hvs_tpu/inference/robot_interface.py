@@ -35,8 +35,18 @@ import numpy as np
 
 
 class Protocol(str, enum.Enum):
+    """Wire protocols (reference enum: robot_interface.py:35-63 lists
+    tcp/udp/ros/zmq but only implements the first two — its ros/zmq paths
+    silently fall back to TCP on ImportError, :192-223). Here all four are
+    real: ZMQ speaks the ZMTP 3.0 wire protocol directly (no pyzmq needed,
+    interoperates with libzmq PAIR peers) and ROS2 uses rclpy when present
+    with a documented UDP topic-frame fallback
+    (:mod:`hvs_tpu.inference.transports`)."""
+
     TCP = "tcp"
     UDP = "udp"
+    ROS2 = "ros2"
+    ZMQ = "zmq"
 
 
 @dataclass
@@ -53,6 +63,8 @@ class RobotConfig:
     command_rate_hz: float = 10.0
     heartbeat_interval_s: float = 1.0
     connect_timeout_s: float = 2.0
+    ros2_topic: str = "/hvs/commands"  # command topic (ros2 protocol)
+    ros2_qos_depth: int = 10
 
 
 @dataclass
@@ -212,6 +224,7 @@ class RobotCommunication:
         self.config = config
         self.safety = SafetyMonitor(config)
         self._sock: Optional[socket.socket] = None
+        self._transport: Optional[Any] = None  # ZMTPPairSocket | ROS2Topics
         self._queue: "queue.Queue[RobotCommand]" = queue.Queue(maxsize=32)
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
@@ -228,13 +241,29 @@ class RobotCommunication:
                     (self.config.host, self.config.port),
                     timeout=self.config.connect_timeout_s,
                 )
-            else:
+                self._sock = s
+            elif self.config.protocol == Protocol.UDP:
                 s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
                 s.connect((self.config.host, self.config.port))
-            self._sock = s
+                self._sock = s
+            elif self.config.protocol == Protocol.ZMQ:
+                from .transports import ZMTPPairSocket
+
+                self._transport = ZMTPPairSocket.connect(
+                    self.config.host, self.config.port,
+                    timeout=self.config.connect_timeout_s,
+                )
+            else:  # ROS2
+                from .transports import ROS2Topics
+
+                self._transport = ROS2Topics(
+                    host=self.config.host, port=self.config.port,
+                    qos_depth=self.config.ros2_qos_depth,
+                )
             return True
-        except OSError:
+        except (OSError, ConnectionError):
             self._sock = None
+            self._transport = None
             return False
 
     def start(self) -> bool:
@@ -259,10 +288,27 @@ class RobotCommunication:
                     self._sock.close()
                 finally:
                     self._sock = None
+            if self._transport is not None:
+                try:
+                    self._transport.close()
+                finally:
+                    self._transport = None
 
     # ------------------------------------------------------------------
     def _send_raw(self, payload: Dict[str, Any]) -> bool:
         with self._lock:
+            if self._transport is not None:
+                from .transports import ROS2Topics, ZMTPPairSocket
+
+                try:
+                    if isinstance(self._transport, ZMTPPairSocket):
+                        # ZMTP frames carry their own length — no prefix.
+                        self._transport.send(json.dumps(payload).encode())
+                    else:
+                        self._transport.publish(self.config.ros2_topic, payload)
+                    return True
+                except (OSError, ConnectionError):
+                    return False
             if self._sock is None:
                 return False
             try:
