@@ -15,6 +15,7 @@ from .grpc_server import (
     SERVICE_NAME,
 )
 from .model_server import ModelExporter, ModelServerManager, RegistryGate, ServingModelConfig
+from .cloud_codegen import CloudDeployConfig, generate as generate_cloud_bundle
 from .health_check import (
     HealthChecker,
     HealthStatus,
@@ -29,6 +30,7 @@ __all__ = [
     "DetectRequestModel", "DetectionModel", "DetectionResponseModel",
     "RobotVisionService", "RobotGRPCServer", "RobotVisionClient", "SERVICE_NAME",
     "ModelExporter", "ModelServerManager", "RegistryGate", "ServingModelConfig",
+    "CloudDeployConfig", "generate_cloud_bundle",
     "HealthChecker", "HealthStatus", "CheckResult",
     "ModelHealthChecker", "SystemHealthChecker", "APIChecker",
 ]

@@ -72,48 +72,21 @@ class DeploymentManager:
         return rc
 
     # ---------------- cloud codegen (reference :267-534) ----------------
-    def generate_cloud_manifest(self, provider: str, out_dir: str) -> str:
-        """TPU-cloud deployment descriptors (replaces SageMaker/Vertex GPU
-        codegen with GKE-TPU / Cloud-TPU-VM equivalents)."""
-        os.makedirs(out_dir, exist_ok=True)
-        if provider == "gke-tpu":
-            manifest = {
-                "apiVersion": "apps/v1",
-                "kind": "Deployment",
-                "metadata": {"name": "hvs-tpu-inference"},
-                "spec": {
-                    "replicas": 2,
-                    "template": {
-                        "spec": {
-                            "nodeSelector": {
-                                "cloud.google.com/gke-tpu-accelerator": "tpu-v5-lite-podslice",
-                                "cloud.google.com/gke-tpu-topology": "1x1",
-                            },
-                            "containers": [{
-                                "name": "inference",
-                                "image": "hvs-tpu:latest",
-                                "resources": {"limits": {"google.com/tpu": "1"}},
-                                "ports": [{"containerPort": 8000},
-                                          {"containerPort": 50051}],
-                            }],
-                        }
-                    },
-                },
-            }
-        elif provider == "tpu-vm":
-            manifest = {
-                "type": "tpu-vm",
-                "accelerator_type": "v5litepod-1",
-                "runtime_version": "tpu-ubuntu2204-base",
-                "startup_script": "pip install -e . && python -m scripts.deploy serve",
-            }
-        else:
-            raise ValueError(f"unknown provider: {provider!r}")
-        path = os.path.join(out_dir, f"{provider}.json")
-        with open(path, "w") as f:
-            json.dump(manifest, f, indent=2)
-        print(f"wrote {path}")
-        return path
+    def generate_cloud_manifest(self, provider: str, out_dir: str,
+                                image: str = "hvs-tpu:latest",
+                                registry: str = "") -> list:
+        """Full per-provider deployable bundles — GKE-TPU / Vertex-TPU /
+        TPU-VM (TPU-first) plus SageMaker/AzureML parity bundles serving the
+        exported model (reference emits SageMaker/Vertex/AzureML code,
+        scripts/deploy.py:267-534). Delegates to
+        :mod:`hvs_tpu.deployment.cloud_codegen`."""
+        from hvs_tpu.deployment.cloud_codegen import CloudDeployConfig, generate
+
+        cfg = CloudDeployConfig(image=image, registry=registry)
+        files = generate(provider, out_dir, cfg)
+        for f in files:
+            print(f"wrote {f}")
+        return files
 
     # ---------------- edge (reference :535-635) ----------------
     def edge_deploy(self, host: str, user: str = "robot",
@@ -209,8 +182,12 @@ def main():
     k.add_argument("--dry-run", action="store_true")
 
     c = sub.add_parser("cloud")
-    c.add_argument("--provider", choices=["gke-tpu", "tpu-vm"], default="gke-tpu")
+    c.add_argument("--provider", default="gke-tpu",
+                   choices=["gke-tpu", "vertex-tpu", "tpu-vm", "sagemaker",
+                            "azureml"])
     c.add_argument("--out-dir", default="cloud_manifests")
+    c.add_argument("--image", default="hvs-tpu:latest")
+    c.add_argument("--registry", default="")
 
     e = sub.add_parser("edge")
     e.add_argument("--host", required=True)
@@ -232,7 +209,10 @@ def main():
         mgr = DeploymentManager(args.dry_run)
         sys.exit(mgr.k8s_apply(args.manifest_dir, args.namespace))
     elif args.action == "cloud":
-        DeploymentManager().generate_cloud_manifest(args.provider, args.out_dir)
+        DeploymentManager().generate_cloud_manifest(
+            args.provider, args.out_dir, image=args.image,
+            registry=args.registry,
+        )
     elif args.action == "edge":
         mgr = DeploymentManager(args.dry_run)
         sys.exit(mgr.edge_deploy(args.host, args.user))

@@ -334,3 +334,51 @@ def test_summarize_run_dedupes_resumed_steps(tmp_path):
     # Replayed steps 5..9 must use the post-resume (last) records.
     assert artifact["loss_min"] == 8.0 - 0.5 * 14
     assert not artifact["diverged"]
+
+
+# ---------------------------------------------------------------------------
+# Cloud deployment codegen (reference: scripts/deploy.py:267-534)
+# ---------------------------------------------------------------------------
+
+def test_cloud_codegen_all_providers(tmp_path):
+    from hvs_tpu.deployment import generate_cloud_bundle
+
+    for provider in ("gke-tpu", "vertex-tpu", "tpu-vm", "sagemaker", "azureml"):
+        files = generate_cloud_bundle(provider, str(tmp_path))
+        assert files, provider
+        import os
+        for f in files:
+            assert os.path.exists(f), f
+
+
+def test_cloud_codegen_gke_manifest_schema(tmp_path):
+    import os
+
+    import yaml
+
+    from hvs_tpu.deployment import CloudDeployConfig, generate_cloud_bundle
+
+    cfg = CloudDeployConfig(image="img:v1", registry="gcr.io/p", replicas=3)
+    generate_cloud_bundle("gke-tpu", str(tmp_path), cfg)
+    d = os.path.join(str(tmp_path), "gke-tpu")
+    dep = yaml.safe_load(open(os.path.join(d, "deployment.yaml")))
+    spec = dep["spec"]["template"]["spec"]
+    assert spec["nodeSelector"]["cloud.google.com/gke-tpu-accelerator"]
+    assert spec["containers"][0]["image"] == "gcr.io/p/img:v1"
+    assert spec["containers"][0]["resources"]["limits"]["google.com/tpu"] == "1"
+    assert dep["spec"]["replicas"] == 3
+    hpa = yaml.safe_load(open(os.path.join(d, "hpa.yaml")))
+    assert hpa["spec"]["maxReplicas"] == cfg.max_replicas
+    # deploy.sh is executable and applies every manifest
+    sh = open(os.path.join(d, "deploy.sh")).read()
+    for manifest in ("deployment", "service", "hpa", "podmonitoring"):
+        assert f"{manifest}.yaml" in sh
+
+
+def test_cloud_codegen_unknown_provider(tmp_path):
+    import pytest
+
+    from hvs_tpu.deployment import generate_cloud_bundle
+
+    with pytest.raises(ValueError):
+        generate_cloud_bundle("ec2", str(tmp_path))
