@@ -97,6 +97,7 @@ class RAGConfig:
     enabled: bool = False
     knowledge_dim: int = 128
     top_k: int = 5
+    class_names: Optional[Tuple[str, ...]] = None  # KB seed; None -> COCO
 
 
 @dataclass
@@ -182,6 +183,9 @@ class ModelConfig(BaseConfig):
             num_classes=self.detection.num_classes,
             use_vit=self.vit.enabled,
             use_rag=self.rag.enabled,
+            rag_classes=(
+                tuple(self.rag.class_names) if self.rag.class_names else None
+            ),
             use_segmentation=self.use_segmentation,
             use_depth=self.use_depth,
             sk_iters=self.mhc.sinkhorn_iterations,

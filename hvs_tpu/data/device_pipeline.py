@@ -72,12 +72,18 @@ def load_coco_arrays(
     split: str,
     max_boxes: int = 64,
     limit: Optional[int] = None,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    dense: bool = False,
+):
     """Decode a (square, uniform-size) COCO-format split into stacked arrays.
 
     One-time host cost at startup; the shapes benchmark writes uniform square
     frames (data/shapes.py), which is what makes whole-dataset residency
     possible without per-image letterboxing.
+
+    ``dense=True`` additionally loads per-pixel class masks
+    (``masks/<split>/*.png``, uint8) and depth maps (``depth/<split>/*.png``,
+    uint16 mm -> float32 m) written by ``generate_dataset(with_dense=True)``
+    and returns them as trailing arrays.
     """
     import cv2
 
@@ -96,18 +102,30 @@ def load_coco_arrays(
     boxes = np.zeros((n, max_boxes, 4), np.float32)
     labels = np.zeros((n, max_boxes), np.int32)
     mask = np.zeros((n, max_boxes), np.float32)
+    seg = np.empty((n, size, size), np.uint8) if dense else None
+    depth = np.empty((n, size, size), np.float32) if dense else None
     for i, meta in enumerate(images_meta):
         assert meta["height"] == size and meta["width"] == size, (
             "device pipeline requires uniform square frames"
         )
         bgr = cv2.imread(os.path.join(root, split, meta["file_name"]))
         images[i] = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        if dense:
+            stem = meta["file_name"].replace(".jpg", ".png")
+            seg[i] = cv2.imread(
+                os.path.join(root, "masks", split, stem), cv2.IMREAD_UNCHANGED
+            )
+            depth[i] = cv2.imread(
+                os.path.join(root, "depth", split, stem), cv2.IMREAD_UNCHANGED
+            ).astype(np.float32) / 1000.0
         for j, a in enumerate(by_image[meta["id"]][:max_boxes]):
             x, y, w, h = a["bbox"]
             boxes[i, j] = ((x + w / 2) / size, (y + h / 2) / size,
                            w / size, h / size)
             labels[i, j] = a["category_id"] - 1  # COCO ids are 1-based
             mask[i, j] = 1.0
+    if dense:
+        return images, boxes, labels, mask, seg, depth
     return images, boxes, labels, mask
 
 

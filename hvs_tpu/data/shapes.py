@@ -202,13 +202,24 @@ def generate_image(
     min_shapes: int = 2,
     max_shapes: int = 12,
     max_overlap: float = 0.40,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    with_dense: bool = False,
+):
     """One synthetic frame.
 
     Returns ``(image_rgb_uint8 [size,size,3], boxes_xywh_px [N,4] float32,
     labels [N] int32)`` with labels indexing :data:`SHAPE_CLASSES`.
+
+    With ``with_dense=True`` additionally returns ``(seg_mask, depth)``:
+    ``seg_mask`` [size,size] uint8 class-id+1 per pixel (0 = background, exact
+    by construction — the generator re-draws each instance onto an id canvas),
+    and ``depth`` [size,size] float32 meters (background 10 m; each instance
+    at a distance inversely proportional to its drawn size, the same pinhole
+    model the SafetyMonitor assumes). Targets for the segmentation/depth
+    heads (reference: src/models/hybrid_vision.py:131-156).
     """
     img = _background(rng, size)
+    seg = np.zeros((size, size), np.uint8) if with_dense else None
+    depth = np.full((size, size), 10.0, np.float32) if with_dense else None
     n = int(rng.integers(min_shapes, max_shapes + 1))
     boxes: List[np.ndarray] = []
     labels: List[int] = []
@@ -244,6 +255,17 @@ def generate_image(
                 color = np.clip(color + rng.normal(0, 12, 3), 0, 255)
                 bbox = _draw_shape(img, cls, cx, cy, s, theta, aspect,
                                    tuple(color))
+                if with_dense:
+                    # Exact instance mask: re-draw on an id canvas (AA-free
+                    # boundary differences are below label tolerance).
+                    stamp = np.zeros((size, size), np.uint8)
+                    _draw_shape(stamp, cls, cx, cy, s, theta, aspect, (1,))
+                    covered = stamp > 0
+                    seg[covered] = cls_id + 1
+                    # Pinhole distance: bigger drawn size = closer.
+                    depth[covered] = float(
+                        np.clip(0.4 * size / (2.0 * s), 0.5, 9.5)
+                    )
                 boxes.append(np.asarray(bbox, np.float32))
                 labels.append(cls_id)
                 break
@@ -252,6 +274,14 @@ def generate_image(
                            0.0, 1.0, tuple(_PALETTE[0]))
         boxes.append(np.asarray(bbox, np.float32))
         labels.append(0)
+        if with_dense:
+            stamp = np.zeros((size, size), np.uint8)
+            _draw_shape(stamp, "circle", size / 2, size / 2, size * 0.1,
+                        0.0, 1.0, (1,))
+            seg[stamp > 0] = 1
+            depth[stamp > 0] = 2.0
+    if with_dense:
+        return img, np.stack(boxes), np.asarray(labels, np.int32), seg, depth
     return img, np.stack(boxes), np.asarray(labels, np.int32)
 
 
@@ -262,6 +292,7 @@ def _write_split(
     size: int,
     seed: int,
     jpeg_quality: int = 92,
+    with_dense: bool = False,
 ) -> str:
     import cv2
 
@@ -269,19 +300,35 @@ def _write_split(
     ann_dir = os.path.join(root, "annotations")
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(ann_dir, exist_ok=True)
+    if with_dense:
+        os.makedirs(os.path.join(root, "masks", split), exist_ok=True)
+        os.makedirs(os.path.join(root, "depth", split), exist_ok=True)
 
     images, annotations = [], []
     ann_id = 1
     for i in range(num_images):
         # Independent stream per image: any subset regenerates identically.
         rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
-        img, boxes, labels = generate_image(rng, size=size)
+        if with_dense:
+            img, boxes, labels, seg, depth = generate_image(
+                rng, size=size, with_dense=True
+            )
+        else:
+            img, boxes, labels = generate_image(rng, size=size)
         fname = f"{split}_{i:06d}.jpg"
         cv2.imwrite(
             os.path.join(img_dir, fname),
             cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
             [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality],
         )
+        if with_dense:
+            stem = fname.replace(".jpg", ".png")
+            cv2.imwrite(os.path.join(root, "masks", split, stem), seg)
+            # Depth as 16-bit PNG millimeters (lossless, standard encoding).
+            cv2.imwrite(
+                os.path.join(root, "depth", split, stem),
+                np.clip(depth * 1000.0, 0, 65535).astype(np.uint16),
+            )
         image_id = i + 1
         images.append({"id": image_id, "file_name": fname,
                        "width": size, "height": size})
@@ -322,10 +369,17 @@ def generate_dataset(
     num_val: int = 500,
     size: int = 416,
     seed: int = 0,
+    with_dense: bool = False,
 ) -> Dict[str, str]:
-    """Generate the full benchmark; returns {split: annotation_path}."""
+    """Generate the full benchmark; returns {split: annotation_path}.
+
+    ``with_dense=True`` also writes per-pixel class masks (masks/<split>/*.png,
+    uint8 class-id+1) and depth maps (depth/<split>/*.png, uint16 mm) for the
+    segmentation/depth heads."""
     return {
-        "train": _write_split(root, "train", num_train, size, seed),
+        "train": _write_split(root, "train", num_train, size, seed,
+                              with_dense=with_dense),
         # Disjoint stream for val (never reuses a train image).
-        "val": _write_split(root, "val", num_val, size, seed + 1_000_003),
+        "val": _write_split(root, "val", num_val, size, seed + 1_000_003,
+                            with_dense=with_dense),
     }

@@ -72,6 +72,7 @@ class HybridVisionSystem(nn.Module):
     num_classes: int = 80
     use_vit: bool = True
     use_rag: bool = False
+    rag_classes: Any = None  # KB class names (tuple); None -> COCO
     use_segmentation: bool = False
     use_depth: bool = False
     sk_iters: int = 20
@@ -147,7 +148,7 @@ class HybridVisionSystem(nn.Module):
             tokens = RAGVisionKnowledge(
                 channels=c, sk_iters=self.sk_iters, dtype=self.dtype,
                 precomputed_constraints=self.precomputed_constraints, name="rag",
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, kb_classes=self.rag_classes,
             )(tokens, deterministic)
             fused = dict(fused)
             fused["fused_small"] = 0.5 * small + 0.5 * tokens.reshape(b, h, w, c)
@@ -166,8 +167,10 @@ class HybridVisionSystem(nn.Module):
             outputs["detection"] = det
 
         if task in ("segmentation", "multi_task") and self.use_segmentation:
+            # +1: channel 0 is background (dense masks are class-id+1).
             outputs["segmentation"] = SegmentationHead(
-                num_classes=self.num_classes, dtype=self.dtype, name="segmentation_head",
+                num_classes=self.num_classes + 1, dtype=self.dtype,
+                name="segmentation_head",
             )(fused["fused_small"])
 
         if task in ("depth", "multi_task") and self.use_depth:

@@ -40,11 +40,16 @@ def _pseudo_embedding(text: str, dim: int) -> np.ndarray:
     return v / (np.linalg.norm(v) + 1e-8)
 
 
-def build_knowledge_base(dim: int = 128) -> Tuple[List[str], np.ndarray]:
-    """Facts about the 80 COCO classes + embedding matrix [K, dim]
-    (reference: src/models/rag_module.py:44-148 seeds ~80 class facts)."""
+def build_knowledge_base(
+    dim: int = 128, class_names=None
+) -> Tuple[List[str], np.ndarray]:
+    """Facts about the detection classes + embedding matrix [K, dim]
+    (reference: src/models/rag_module.py:44-148 seeds ~80 class facts).
+
+    ``class_names`` defaults to the 80 COCO classes; pass the dataset's own
+    names (e.g. the shapes benchmark's) so the KB matches the task."""
     facts: List[str] = []
-    for name in COCO_CLASSES:
+    for name in (class_names if class_names is not None else COCO_CLASSES):
         facts.append(f"A {name} is a common object a humanoid robot may encounter.")
     # A few cross-class navigation/safety facts like the reference's seed set.
     facts += [
@@ -77,9 +82,10 @@ class RAGVisionKnowledge(nn.Module):
     dtype: Dtype = jnp.bfloat16
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    kb_classes: Any = None  # tuple of class names; None -> COCO
 
     def setup(self):
-        _, emb = build_knowledge_base(self.knowledge_dim)
+        _, emb = build_knowledge_base(self.knowledge_dim, self.kb_classes)
         self._kb = jnp.asarray(emb)  # [K, Kd] static constant baked into the jit
 
     @nn.compact

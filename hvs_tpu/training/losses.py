@@ -314,6 +314,10 @@ def multi_task_loss(
     if "segmentation" in outputs and "seg_labels" in batch:
         logits = outputs["segmentation"].astype(jnp.float32)
         labels = batch["seg_labels"]
+        if labels.shape[1] != logits.shape[1]:
+            # Nearest-downsample dense labels to the head's output stride.
+            fy = labels.shape[1] // logits.shape[1]
+            labels = labels[:, ::fy, ::fy][:, : logits.shape[1], : logits.shape[2]]
         seg = jnp.mean(
             -jnp.take_along_axis(
                 jax.nn.log_softmax(logits, -1), labels[..., None], axis=-1
@@ -321,5 +325,15 @@ def multi_task_loss(
         )
         total = total + tw["segmentation"] * seg
         metrics["segmentation_loss"] = seg
+    if "depth" in outputs and "depth" in batch:
+        # L1 in log-depth (scale-robust; softplus head output is positive).
+        pred = outputs["depth"].astype(jnp.float32)[..., 0]
+        gt = batch["depth"].astype(jnp.float32)
+        if gt.shape[1] != pred.shape[1]:
+            fy = gt.shape[1] // pred.shape[1]
+            gt = gt[:, ::fy, ::fy][:, : pred.shape[1], : pred.shape[2]]
+        dep = jnp.mean(jnp.abs(jnp.log(pred + 1e-3) - jnp.log(gt + 1e-3)))
+        total = total + tw.get("depth", 0.5) * dep
+        metrics["depth_loss"] = dep
     metrics["total_loss"] = total
     return total, metrics

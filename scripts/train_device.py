@@ -87,6 +87,11 @@ def main():
     mcfg = ModelConfig()
     mcfg.detection.num_classes = 8
     mcfg.rag.enabled = args.use_rag
+    if args.use_rag:
+        # Seed the KB with the benchmark's own classes (VERDICT r2 item 6).
+        from hvs_tpu.data.shapes import SHAPE_CLASSES
+
+        mcfg.rag.class_names = tuple(SHAPE_CLASSES)
     model = mcfg.build_model(monitor=True)
 
     cfg = TrainerConfig(
