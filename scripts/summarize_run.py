@@ -27,6 +27,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", default="logs/shapes/steps.jsonl")
     p.add_argument("--report", default=None, help="StabilityMonitor JSON report")
+    p.add_argument("--chunks", default=None,
+                   help="train_chunked chunks.jsonl (eigenvalue telemetry)")
     p.add_argument("--output", default="STABILITY.json")
     args = p.parse_args()
 
@@ -49,6 +51,11 @@ def main():
     window_means = [float(loss[i:i + k].mean()) for i in range(0, n - k + 1, k)]
     gaps = np.diff(t)
     stepping = gaps[gaps < 5.0]  # exclude validation/checkpoint pauses
+    # Chunked on-device runs log a whole chunk's rows at once (identical
+    # timestamps) — per-row gaps are then meaningless; rate = span-based.
+    chunked = stepping.size and np.median(stepping) < 1e-4
+    span = max(t[-1] - t[0], 1e-9)
+    rate = (n - 1) / span if chunked else float(1.0 / np.median(stepping))
 
     out = {
         "steps": n,
@@ -65,13 +72,32 @@ def main():
         "ds_error_max_overall": float(ds.max()) if ds.size else None,
         "lr_scale_final": float(lr[-1]),
         "lr_scale_min": float(lr.min()),
-        "steps_per_sec_median": float(1.0 / np.median(stepping)),
+        "steps_per_sec_median": float(rate),
         "wall_hours": float((t[-1] - t[0]) / 3600),
         "diverged": bool(
             not np.isfinite(loss).all()
             or loss[-max(n // 100, 1):].mean() > loss[: max(n // 100, 1)].mean()
         ),
     }
+    if args.chunks and os.path.exists(args.chunks):
+        # Low-frequency eigenvalue spectra of every Sinkhorn-projected H_res
+        # (the architecture's non-expansiveness guarantee: max eig <= 1).
+        crows = [json.loads(l) for l in open(args.chunks)]
+        eig = [r["eig_max_eigenvalue"] for r in crows
+               if r.get("eig_max_eigenvalue") is not None]
+        dsp = [r.get("eig_ds_error_max_proj") for r in crows
+               if r.get("eig_ds_error_max_proj") is not None]
+        if eig:
+            stride = max(len(eig) // 50, 1)
+            out["eigenvalue_telemetry"] = {
+                "samples": len(eig),
+                "max_eigenvalue_overall": float(np.max(eig)),
+                "max_eigenvalue_final": float(eig[-1]),
+                "constraint_satisfied": bool(np.max(eig) <= 1.0 + 1e-3),
+                "series_sampled": [round(float(v), 6) for v in eig[::stride]],
+            }
+        if dsp:
+            out["ds_error_proj_max_overall"] = float(np.max(dsp))
     if args.report and os.path.exists(args.report):
         rep = json.load(open(args.report))
         out["monitor"] = {
