@@ -11,7 +11,13 @@
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Works as a script (repo/examples/) AND inside a notebook kernel
+# (cwd = repo root, no __file__).
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "__file__" in globals() else os.getcwd(),
+)
 
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     import jax
