@@ -37,6 +37,38 @@ from ..data.dataset import letterbox
 from ..utils.metrics import InferenceMetrics
 
 
+def _pack_outputs(det, emb=None):
+    """Pack (boxes, scores, classes, num_valid[, embeddings]) into ONE f32
+    array [B, K, 7(+C)]: behind a tunneled device every separate device→host
+    pull costs a full RTT (~26 ms measured) — four pulls per batch dominated
+    the serve latency. One packed array = one pull (~3 KB/frame)."""
+    import jax.numpy as jnp
+
+    b, k = det.scores.shape
+    nv = jnp.broadcast_to(
+        det.num_valid.astype(jnp.float32)[:, None, None], (b, k, 1)
+    )
+    parts = [
+        det.boxes.astype(jnp.float32),
+        det.scores.astype(jnp.float32)[..., None],
+        det.classes.astype(jnp.float32)[..., None],
+        nv,
+    ]
+    if emb is not None:
+        parts.append(emb.astype(jnp.float32))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _unpack_outputs(packed: np.ndarray):
+    """Host-side inverse of :func:`_pack_outputs`."""
+    boxes = packed[..., :4]
+    scores = packed[..., 4]
+    classes = packed[..., 5].astype(np.int64)
+    num_valid = packed[:, 0, 6].astype(np.int64)
+    emb = packed[..., 7:] if packed.shape[-1] > 7 else None
+    return boxes, scores, classes, num_valid, emb
+
+
 def _roi_embeddings(model_out, boxes_norm):
     """Per-detection appearance embedding: ROI-pool the fused small scale at
     the final NMS boxes and L2-normalize — the device-side feature DeepSORT
@@ -357,12 +389,11 @@ class InferenceEngine:
                         pre_nms_top_k=pp.pre_nms_top_k,
                         nms_method=pp.nms_method,
                     )
-                    result = (det.boxes, det.scores, det.classes, det.num_valid)
-                    if pp.return_embeddings:
-                        result = result + (
-                            _roi_embeddings(out, det.boxes),
-                        )
-                    return result
+                    return _pack_outputs(
+                        det,
+                        _roi_embeddings(out, det.boxes)
+                        if pp.return_embeddings else None,
+                    )
 
                 return serve
 
@@ -446,12 +477,11 @@ class InferenceEngine:
                         pre_nms_top_k=pp.pre_nms_top_k,
                         nms_method=pp.nms_method,
                     )
-                    result = (det.boxes, det.scores, det.classes, det.num_valid)
-                    if pp.return_embeddings:
-                        result = result + (
-                            _roi_embeddings(out, det.boxes),
-                        )
-                    return result
+                    return _pack_outputs(
+                        det,
+                        _roi_embeddings(out, det.boxes)
+                        if pp.return_embeddings else None,
+                    )
 
                 return serve
 
@@ -615,10 +645,13 @@ class InferenceEngine:
         }
 
     def finalize_batch(self, handle: Dict[str, Any]) -> List[Detections]:
-        """Block on a dispatched batch and split per-image results."""
-        device = [np.asarray(x) for x in handle["device"]]
-        boxes, scores, classes, num_valid = device[:4]
-        emb = device[4] if len(device) > 4 else None
+        """Block on a dispatched batch and split per-image results.
+
+        ONE device->host pull (outputs are packed on device): each extra pull
+        costs a tunnel RTT (~26 ms measured on this deployment)."""
+        boxes, scores, classes, num_valid, emb = _unpack_outputs(
+            np.asarray(handle["device"])
+        )
         latency = time.perf_counter() - handle["t0"]
         n = handle["n"]
         self.metrics.record(latency, batch_size=n)
