@@ -56,6 +56,10 @@ if TINY:
     mcfg.mhc.sinkhorn_iterations = 5
     icfg.preprocessing.image_size = 64
     icfg.performance.batch_buckets = (1, 2)
+# Admission control: the micro-batcher rejects (EngineOverloaded) once this
+# many requests are queued, so overload sheds instead of queueing into
+# unbounded latency. Size it for the demo's burst below.
+icfg.performance.max_queue_depth = 16
 
 engine = InferenceEngine(mcfg, icfg)
 engine.warmup()
@@ -109,11 +113,26 @@ print(f"batch of {len(frames)}: {dt:.1f} ms total, "
 # the device runs the current one).
 
 # %%
+from hvs_tpu.inference import EngineOverloaded
+
 engine.start_batcher()
 futures = [engine.submit(f) for f in frames * 2]
 results = [f.result(timeout=120) for f in futures]
-engine.stop_batcher()
 print(f"{len(results)} concurrent requests served")
+
+# Overload behavior: past max_queue_depth the engine REJECTS at submit time
+# (the API layer maps this to HTTP 429) — latency stays bounded under
+# overload because excess work is shed, never queued.
+rejected = 0
+burst = []
+for f in frames * 8:
+    try:
+        burst.append(engine.submit(f))
+    except EngineOverloaded:
+        rejected += 1
+served = sum(1 for b in burst if b.result(timeout=120) is not None)
+engine.stop_batcher()
+print(f"burst of {len(frames) * 8}: {served} served, {rejected} rejected")
 
 # %% [markdown]
 # ## Performance counters
