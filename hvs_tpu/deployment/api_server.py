@@ -204,11 +204,20 @@ class VisionAPIServer:
         """(reference :276-347)"""
         from aiohttp import web
 
+        from ..inference.engine import EngineOverloaded
+
+        # Fast-429 BEFORE body read/decode: when the micro-batcher's bounded
+        # queue is full, shedding must not cost per-request decode work on
+        # the host (engine.accepting() is the same predicate submit() uses).
+        if self.engine._batcher is not None and not self.engine.accepting():
+            return web.json_response(
+                {"error": "overloaded", "detail": "admission queue full"},
+                status=429, headers={"Retry-After": "1"},
+            )
         image = await self._get_image(request)
         if image is None:
             return web.json_response({"error": "no image provided"}, status=400)
         loop = asyncio.get_event_loop()
-        from ..inference.engine import EngineOverloaded
 
         try:
             det = await loop.run_in_executor(

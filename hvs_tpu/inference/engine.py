@@ -681,6 +681,18 @@ class InferenceEngine:
         assert self._batcher is not None, "call start_batcher() first"
         return self._batcher.submit(image)
 
+    def accepting(self) -> bool:
+        """Cheap admission predicate: whether ``submit`` would be admitted
+        right now. Callers (API layer, benchmark drivers) check this BEFORE
+        paying per-request host work (JPEG decode) so that an overloaded
+        server sheds at near-zero cost instead of decoding frames it will
+        reject — the fast-429 path (reference drop-oldest precedent:
+        preprocessing.py:489-497)."""
+        if self._batcher is None:
+            return False
+        q = self._batcher.queue
+        return q.qsize() < q.maxsize
+
     # ------------------------------------------------------------------
     def get_performance_stats(self) -> Dict[str, float]:
         """(reference: engine.py:473-511)"""

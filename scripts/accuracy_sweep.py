@@ -49,6 +49,12 @@ def evaluate_at(resolution: int, args) -> dict:
         normalize=False,
     )
     mcfg.detection.num_classes = len(dataset.class_names)
+    if args.use_rag:
+        # Evaluating a RAG-trained checkpoint: the model must be built with
+        # the retrieval path (and the KB seeded with the benchmark classes)
+        # or the checkpoint's extra params won't load.
+        mcfg.rag.enabled = True
+        mcfg.rag.class_names = tuple(dataset.class_names)
     engine = InferenceEngine(mcfg, icfg)
     evaluator = DetectionEvaluator(num_classes=len(dataset.class_names))
 
@@ -86,6 +92,9 @@ def main():
     p.add_argument("--resolutions", default="320,416,512,640")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--use-rag", action="store_true",
+                   help="build the model with the RAG path (for RAG-trained "
+                        "checkpoints)")
     p.add_argument("--trained-steps", type=int, default=None)
     p.add_argument("--output", default="ACCURACY_r03.json")
     args = p.parse_args()

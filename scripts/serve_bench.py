@@ -63,6 +63,13 @@ def parse_args():
                    help="admission-control queue depth (0 = 2x max bucket)")
     p.add_argument("--deadline-ms", type=float, default=8.0,
                    help="micro-batch flush deadline")
+    p.add_argument("--host-letterbox", action="store_true",
+                   help="letterbox on the host before submit: the link then "
+                        "carries 416^2 uint8 (0.52 MB/frame) instead of the "
+                        "raw 480x640 frame (0.92 MB) — 44%% less traffic on "
+                        "a bandwidth-bound deployment link. Geometry is "
+                        "identical (letterbox of a letterboxed frame at the "
+                        "same target size is the identity).")
     return p.parse_args()
 
 
@@ -132,7 +139,11 @@ def main():
     # at every bucket, so no compile/trace lands inside the measured window.
     # (engine.warmup() would build the host-letterboxed programs — unused
     # here since uniform-shape frames take the raw path.)
+    from hvs_tpu.data.dataset import letterbox
+
     warm = cv2.imdecode(np.frombuffer(blobs[0], np.uint8), cv2.IMREAD_COLOR)
+    if args.host_letterbox:
+        warm = letterbox(warm, args.image_size)[0]
     for b in icfg.performance.batch_buckets:
         print(f"warming bucket {b}...", file=sys.stderr, flush=True)
         engine.infer_batch([warm] * b)
@@ -196,6 +207,8 @@ def main():
             i += 1
             t_submit = time.perf_counter()
             img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+            if args.host_letterbox:
+                img = letterbox(img, args.image_size)[0]
             fut = engine.submit(img)
             submitted += 1
             collector.submit(collect, fut, t_submit)
@@ -216,8 +229,17 @@ def main():
             next_t += interval
             blob = blobs[i % n_blobs]
             i += 1
+            # Fast-shed BEFORE decode: an overloaded 1-core host must not
+            # spend 3.4 ms decoding a frame it is about to reject (the API
+            # layer's fast-429 path uses the same predicate).
+            if not engine.accepting():
+                shed_or_rejected += 1
+                submitted += 1
+                continue
             t_submit = time.perf_counter()
             img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+            if args.host_letterbox:
+                img = letterbox(img, args.image_size)[0]
             try:
                 fut = engine.submit(img)
             except EngineOverloaded:
@@ -257,6 +279,7 @@ def main():
                 "mean_ok": bool(np.mean(lat) < latency_target),
                 "p95_ok": bool(np.percentile(lat, 95) < 2 * latency_target)},
         "overload_policy": args.policy,
+        "host_letterbox": args.host_letterbox,
         "path": "jpeg->decode->letterbox->microbatch->device(fwd+decode+nms)->boxes",
         "engine_stats": engine.get_performance_stats(),
     }

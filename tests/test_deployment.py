@@ -116,6 +116,42 @@ def test_api_detect_multipart(api_client):
     assert isinstance(body["detections"], list)
 
 
+def test_api_fast_429_before_decode_when_queue_full(api_client, engine):
+    """Admission control at the edge: with the micro-batcher's bounded queue
+    full, /detect must return 429 from the fast path (before reading the
+    body) — the predicate is engine.accepting() (round-3 overload fix)."""
+    from hvs_tpu.inference.engine import _MicroBatcher
+
+    client, call = api_client
+    b64 = base64.b64encode(_jpeg_bytes()).decode()
+
+    batcher = _MicroBatcher(engine)  # loop NOT started: queue never drains
+    batcher.queue.maxsize = 1
+    batcher.queue.put_nowait((None, None))
+    assert not engine.accepting() or engine._batcher is None
+
+    engine._batcher = batcher
+    try:
+        assert not engine.accepting()
+
+        async def go():
+            resp = await client.post("/detect", json={"image_base64": b64})
+            return resp.status, resp.headers.get("Retry-After")
+
+        status, retry_after = call(go())
+        assert status == 429
+        assert retry_after == "1"
+    finally:
+        engine._batcher = None
+
+    # With no batcher the endpoint serves synchronously again.
+    async def ok():
+        resp = await client.post("/detect", json={"image_base64": b64})
+        return resp.status
+
+    assert call(ok()) == 200
+
+
 def test_api_detect_no_image_is_400(api_client):
     client, call = api_client
 
