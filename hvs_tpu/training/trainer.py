@@ -272,6 +272,11 @@ def make_eval_step(model, config: TrainerConfig) -> Callable:
     return eval_step
 
 
+# (model, traced-config fields) -> (tx, jitted train step, jitted eval step).
+# Process-lifetime cache; see ManifoldConstrainedTrainer.__init__ for why.
+_COMPILED_STEP_CACHE: Dict[tuple, tuple] = {}
+
+
 class ManifoldConstrainedTrainer:
     """Host-side training driver (reference: ManifoldConstrainedTrainer,
     src/training/mhc_trainer.py:46-713)."""
@@ -317,28 +322,55 @@ class ManifoldConstrainedTrainer:
         self.schedule = cosine_annealing_with_warmup(
             config.learning_rate, config.warmup_steps, config.total_steps
         )
-        self.tx = make_optimizer(
-            self.schedule,
-            weight_decay=config.weight_decay,
-            mhc_lr_factor=config.mhc_lr_factor,
-            clip_regular=config.clip_regular,
-            clip_mhc=config.clip_mhc,
-            project_every=config.project_every,
-            sk_iters=config.sk_iters,
-            backbone_lr_factor=config.backbone_lr_factor,
+        # Share the optimizer + jitted steps across trainer instances whose
+        # traced computation is identical (flax modules are frozen dataclasses,
+        # so equal-architecture models hash equal). Without this every
+        # Trainer() re-closes make_train_step over a fresh config object and
+        # jax.jit sees a brand-new function: a test suite constructing five
+        # tiny trainers paid five full CPU traces of the same graph. Only
+        # fields that reach the traced step/optimizer are in the key —
+        # host-side knobs (checkpoint_dir, stability thresholds, logging)
+        # must NOT fragment the cache.
+        key = (
+            model,
+            config.num_classes, config.sk_iters, config.manifold_reg_alpha,
+            config.ema_decay, config.learning_rate, config.warmup_steps,
+            config.total_steps, config.weight_decay, config.mhc_lr_factor,
+            config.clip_regular, config.clip_mhc, config.project_every,
+            config.backbone_lr_factor, config.max_boxes,
         )
-        self._train_step = jax.jit(
-            make_train_step(model, config), donate_argnums=(0,)
-        )
-        self._eval_step = jax.jit(make_eval_step(model, config))
+        cached = _COMPILED_STEP_CACHE.get(key)
+        if cached is None:
+            tx = make_optimizer(
+                self.schedule,
+                weight_decay=config.weight_decay,
+                mhc_lr_factor=config.mhc_lr_factor,
+                clip_regular=config.clip_regular,
+                clip_mhc=config.clip_mhc,
+                project_every=config.project_every,
+                sk_iters=config.sk_iters,
+                backbone_lr_factor=config.backbone_lr_factor,
+            )
+            cached = (
+                tx,
+                jax.jit(make_train_step(model, config), donate_argnums=(0,)),
+                jax.jit(make_eval_step(model, config)),
+            )
+            _COMPILED_STEP_CACHE[key] = cached
+        self.tx, self._train_step, self._eval_step = cached
         self.state: Optional[TrainState] = None
 
     # ------------------------------------------------------------------
     def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
         images = jnp.asarray(sample_batch["images"])
         # jit the init: eager flax init dispatches thousands of tiny ops
-        # (minutes on slow hosts); one compiled graph takes seconds.
-        init_fn = jax.jit(partial(self.model.init, task="detection"))
+        # (minutes on slow hosts); one compiled graph takes seconds. Cached
+        # per model architecture: a fresh partial() per call would make
+        # jax.jit retrace the whole init for every trainer instance.
+        init_fn = _COMPILED_STEP_CACHE.get(("init", self.model))
+        if init_fn is None:
+            init_fn = jax.jit(partial(self.model.init, task="detection"))
+            _COMPILED_STEP_CACHE[("init", self.model)] = init_fn
         params = init_fn(self.rng, images)["params"]
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=self.tx,

@@ -346,6 +346,37 @@ def test_full_size_param_budget():
     assert 10e6 < n < 30e6, n
 
 
+def test_rag_gate_identity_at_init():
+    """The RAG blend is a zero-init learnable gate (ReZero-style), so at init
+    the retrieval path is an EXACT no-op: perturbing every RAG parameter must
+    not change the detector outputs, and opening the gate must. Guards against
+    regressing to the reference's hard 50/50 blend (hybrid_vision.py:266-295),
+    which measured -0.32 mAP@0.5 at matched budget (RAG_EVAL_r03.json)."""
+    model = HybridVisionSystem(**TINY_MODEL, use_rag=True)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x, task="detection")
+    assert v["params"]["rag_gate"].shape == ()
+    assert float(v["params"]["rag_gate"]) == 0.0
+
+    out0 = model.apply(v, x, task="detection")["detection"]["boxes"]
+
+    perturbed = dict(v["params"])
+    perturbed["rag"] = jax.tree_util.tree_map(
+        lambda p: p + 3.0, v["params"]["rag"]
+    )
+    out_pert = model.apply({"params": perturbed}, x, task="detection")
+    np.testing.assert_array_equal(
+        np.asarray(out0), np.asarray(out_pert["detection"]["boxes"])
+    )
+
+    opened = dict(v["params"])
+    opened["rag_gate"] = jnp.asarray(1.0)
+    out_open = model.apply({"params": opened}, x, task="detection")
+    assert not np.allclose(
+        np.asarray(out0), np.asarray(out_open["detection"]["boxes"])
+    )
+
+
 def test_precomputed_constraints_parity():
     """Serving fast path (constraints precomputed at load) must produce the
     same outputs as the training path that re-runs Sinkhorn each forward."""

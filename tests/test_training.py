@@ -32,6 +32,16 @@ TINY = dict(
     dropout_rate=0.1,
 )
 
+# Trace-relevant TrainerConfig fields, shared by EVERY trainer test in the
+# suite. Tracing a train step on this 1-core host costs minutes; the trainer
+# caches jitted steps by (model, traced fields), so tests that agree on these
+# values (and on batch shape + mesh) share ONE trace. Host-side knobs
+# (checkpoint_dir, stability thresholds, logging, plateau) are free to vary.
+BASE_TRAINER_KW = dict(
+    num_classes=4, sk_iters=5, project_every=5, warmup_steps=2, total_steps=100,
+)
+EMA_TRAINER_KW = dict(BASE_TRAINER_KW, ema_decay=0.9)
+
 
 def synthetic_batch(batch=4, size=64, n_boxes=8, seed=0):
     """Random tensors as images/targets (reference test_training.py:61-88)."""
@@ -49,10 +59,7 @@ def synthetic_batch(batch=4, size=64, n_boxes=8, seed=0):
 @pytest.fixture(scope="module")
 def trainer():
     model = HybridVisionSystem(**TINY)
-    cfg = TrainerConfig(
-        num_classes=4, sk_iters=5, project_every=5, stability_check_every=2,
-        warmup_steps=2, total_steps=100,
-    )
+    cfg = TrainerConfig(**BASE_TRAINER_KW, stability_check_every=2)
     mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
     t = ManifoldConstrainedTrainer(model, cfg, mesh=mesh)
     t.init_state(synthetic_batch())
@@ -296,8 +303,7 @@ def test_ema_tracking(trainer):
     from hvs_tpu.models import HybridVisionSystem
 
     model = HybridVisionSystem(**TINY)
-    cfg = TrainerConfig(num_classes=4, sk_iters=5, ema_decay=0.5, warmup_steps=1,
-                        total_steps=50)
+    cfg = TrainerConfig(**EMA_TRAINER_KW)
     mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
     t = ManifoldConstrainedTrainer(model, cfg, mesh=mesh)
     t.init_state(synthetic_batch())
