@@ -104,10 +104,19 @@ def test_detect_during_config_rebuild(swap_engine):
 
 
 def test_batcher_survives_swap(swap_engine):
-    """Micro-batcher thread mid-flight while weights swap."""
+    """Micro-batcher thread mid-flight while weights swap.
+
+    The admission queue is widened for this test: its default depth
+    (2 x max_batch) is the ADMISSION-CONTROL setting under test in
+    test_admission.py, and on a contended 1-core host the batcher thread can
+    legitimately be starved long enough for 8 submits to overflow it — which
+    would fail this test for the wrong reason. Swap-survival, not shedding,
+    is the behavior under test here.
+    """
     rng = np.random.default_rng(2)
     imgs = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(8)]
     variants = [_alt_variables(swap_engine, s) for s in (3, 4)]
+    swap_engine.config.performance.max_queue_depth = 64
     swap_engine.start_batcher()
     try:
         futures = [swap_engine.submit(im) for im in imgs[:4]]
