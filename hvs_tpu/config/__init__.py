@@ -17,6 +17,7 @@ from .model import (
     FusionConfig,
     DetectionHeadConfig,
     RAGConfig,
+    QuantizationConfig,
     ModelConfig,
 )
 from .training import (
@@ -42,7 +43,7 @@ __all__ = [
     "BaseConfig", "Precision", "DeviceType", "detect_device", "from_dict",
     "merge_configs", "load_config", "create_default_configs",
     "MHCConfig", "BackboneConfig", "ViTConfig", "FusionConfig",
-    "DetectionHeadConfig", "RAGConfig", "ModelConfig",
+    "DetectionHeadConfig", "RAGConfig", "QuantizationConfig", "ModelConfig",
     "DatasetConfig", "AugmentationConfig", "OptimizerConfig", "SchedulerConfig",
     "LossConfig", "DistributedConfig", "TrainingConfig",
     "PreprocessingConfig", "PostprocessingConfig", "VisualizationConfig",

@@ -101,6 +101,21 @@ class RAGConfig:
 
 
 @dataclass
+class QuantizationConfig:
+    """Int8 serving (hvs_tpu/ops/quant.py).
+
+    The reference's INT8 story is an unimplemented TensorRT flag
+    (reference: src/inference/engine.py:162-193, base_config.py PrecisionMode);
+    here it is a real calibrated W8A8 path. ``scales_path`` points at the
+    msgpack 'quant' collection written by ``scripts/quantize.py``.
+    """
+
+    enabled: bool = False
+    scales_path: Optional[str] = None
+    margin: float = 1.0
+
+
+@dataclass
 class ModelConfig(BaseConfig):
     """Composed model config (reference: model_config.py:432-653)."""
 
@@ -112,6 +127,7 @@ class ModelConfig(BaseConfig):
     fusion: FusionConfig = field(default_factory=FusionConfig)
     detection: DetectionHeadConfig = field(default_factory=DetectionHeadConfig)
     rag: RAGConfig = field(default_factory=RAGConfig)
+    quantization: QuantizationConfig = field(default_factory=QuantizationConfig)
     use_segmentation: bool = False
     use_depth: bool = False
 
@@ -120,7 +136,7 @@ class ModelConfig(BaseConfig):
         for name, cls in (
             ("mhc", MHCConfig), ("backbone", BackboneConfig), ("vit", ViTConfig),
             ("fusion", FusionConfig), ("detection", DetectionHeadConfig),
-            ("rag", RAGConfig),
+            ("rag", RAGConfig), ("quantization", QuantizationConfig),
         ):
             value = getattr(self, name)
             if isinstance(value, dict):
@@ -200,4 +216,7 @@ class ModelConfig(BaseConfig):
             feature_dim=self.feature_dim,
             dropout_rate=0.0 if production else self.mhc.dropout_rate,
             dtype=self.dtype(),
+            # int8 is a pure serving transform: float training checkpoints
+            # load unchanged (QuantConv declares the identical kernel params).
+            act_quant=production and self.quantization.enabled,
         )

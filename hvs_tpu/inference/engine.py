@@ -212,12 +212,32 @@ class InferenceEngine:
         from ..models import compute_constraints
 
         params = variables["params"] if "params" in variables else variables
-        return {
+        prepared = {
             "params": params,
             "constraints": compute_constraints(
                 params, sk_iters=self.model_config.mhc.sinkhorn_iterations
             ),
         }
+        qcfg = self.model_config.quantization
+        if qcfg.enabled:
+            # int8 serving: calibrated activation scales ride along exactly
+            # like the precomputed constraints. Scales may arrive embedded in
+            # the variables (hot swap) or from the sidecar file written by
+            # scripts/quantize.py.
+            if "quant" in variables:
+                prepared["quant"] = variables["quant"]
+            elif qcfg.scales_path:
+                from flax import serialization
+
+                with open(qcfg.scales_path, "rb") as f:
+                    prepared["quant"] = serialization.msgpack_restore(f.read())
+            else:
+                raise ValueError(
+                    "quantization.enabled requires calibrated scales: set "
+                    "quantization.scales_path (scripts/quantize.py) or pass "
+                    "a variables tree containing the 'quant' collection"
+                )
+        return prepared
 
     def load_checkpoint(self, path: str) -> Dict[str, Any]:
         """Load params from orbax or flax-msgpack artifacts

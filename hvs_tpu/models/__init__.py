@@ -44,6 +44,7 @@ from .rag import (
     roi_pool_bilinear,
 )
 from .constraints import compute_constraints
+from .quantize import calibrate_quant_scales
 from .hybrid import (
     SegmentationHead,
     DepthHead,
@@ -56,6 +57,7 @@ from .hybrid import (
 
 __all__ = [
     "compute_constraints",
+    "calibrate_quant_scales",
     "RMSNorm",
     "ManifoldHyperConnection",
     "SqueezeExcite",

@@ -29,9 +29,43 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.quant import conv_int8, dequantize_tensor, quantize_tensor
 from .layers import ManifoldHyperConnection, SqueezeExcite, group_norm
 
 Dtype = Any
+
+
+class QuantConv(nn.Module):
+    """Drop-in int8 replacement for ``nn.Conv(use_bias=False)``.
+
+    Declares the identical ``kernel`` param (same path, shape, init, fp32
+    param dtype) so float checkpoints load unchanged; the call takes the
+    int8-quantized activation + its calibrated scale and runs the conv with
+    int32 MXU accumulation (hvs_tpu/ops/quant.py). Serving-only: no bias, no
+    autodiff requirements.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (1, 1)
+    strides: Tuple[int, int] = (1, 1)
+    out_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_q: jax.Array, act_scale: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x_q.shape[-1], self.features),
+            jnp.float32,
+        )
+        return conv_int8(
+            x_q, kernel, act_scale, strides=self.strides, out_dtype=self.out_dtype
+        )
+
+
+def _maxabs(x: jax.Array) -> jax.Array:
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
 class ConvMHCBlock(nn.Module):
@@ -55,6 +89,8 @@ class ConvMHCBlock(nn.Module):
     monitor: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -62,13 +98,38 @@ class ConvMHCBlock(nn.Module):
         in_ch = x.shape[-1]
         mid = max(16, int(self.channels * self.bottleneck_ratio))
 
-        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="reduce")(x)
+        # --- int8 serving path (see hvs_tpu/ops/quant.py). The block INPUT is
+        # quantized once and shared by the reduce conv, the projection
+        # shortcut, and (dequantized, fusing into the add) the identity
+        # shortcut — so on the HBM-bound serve program the full-width residual
+        # stream crosses HBM as int8, which is the entire point.
+        if self.quant_calib:
+            self.sow("quant_stats", "x_scale", _maxabs(x))
+        if self.act_quant:
+            ones = lambda: jnp.ones((), jnp.float32)  # noqa: E731
+            x_scale = self.variable("quant", "x_scale", ones).value
+            y1_scale = self.variable("quant", "y1_scale", ones).value
+            y2_scale = self.variable("quant", "y2_scale", ones).value
+            x_q = quantize_tensor(x, x_scale)
+            y = QuantConv(mid, (1, 1), out_dtype=self.dtype, name="reduce")(
+                x_q, x_scale
+            )
+        else:
+            y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="reduce")(x)
         y = group_norm(mid, self.dtype)(y)
         y = nn.silu(y)
-        y = nn.Conv(
-            mid, (3, 3), strides=(self.stride, self.stride), use_bias=False,
-            dtype=self.dtype, name="spatial",
-        )(y)
+        if self.quant_calib:
+            self.sow("quant_stats", "y1_scale", _maxabs(y))
+        if self.act_quant:
+            y = QuantConv(
+                mid, (3, 3), strides=(self.stride, self.stride),
+                out_dtype=self.dtype, name="spatial",
+            )(quantize_tensor(y, y1_scale), y1_scale)
+        else:
+            y = nn.Conv(
+                mid, (3, 3), strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype, name="spatial",
+            )(y)
         y = group_norm(mid, self.dtype)(y)
         y = nn.silu(y)
         if self.use_mhc:
@@ -84,17 +145,34 @@ class ConvMHCBlock(nn.Module):
                 use_pallas=self.use_pallas,
                 name="mhc",
             )(y, deterministic)
-        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="expand")(y)
+        if self.quant_calib:
+            self.sow("quant_stats", "y2_scale", _maxabs(y))
+        if self.act_quant:
+            y = QuantConv(self.channels, (1, 1), out_dtype=self.dtype, name="expand")(
+                quantize_tensor(y, y2_scale), y2_scale
+            )
+        else:
+            y = nn.Conv(
+                self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="expand"
+            )(y)
         y = group_norm(self.channels, self.dtype)(y)
         if self.use_se:
             y = SqueezeExcite(self.channels, dtype=self.dtype, name="se")(y)
 
         if self.stride != 1 or in_ch != self.channels:
-            shortcut = nn.Conv(
-                self.channels, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, dtype=self.dtype, name="shortcut",
-            )(x)
+            if self.act_quant:
+                shortcut = QuantConv(
+                    self.channels, (1, 1), strides=(self.stride, self.stride),
+                    out_dtype=self.dtype, name="shortcut",
+                )(x_q, x_scale)
+            else:
+                shortcut = nn.Conv(
+                    self.channels, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype, name="shortcut",
+                )(x)
             shortcut = group_norm(self.channels, self.dtype)(shortcut)
+        elif self.act_quant:
+            shortcut = dequantize_tensor(x_q, x_scale, self.dtype)
         else:
             shortcut = x
         return nn.silu(y + shortcut)
@@ -119,6 +197,8 @@ class HybridVisionBackbone(nn.Module):
     monitor: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(
@@ -126,12 +206,26 @@ class HybridVisionBackbone(nn.Module):
     ) -> Dict[str, jax.Array]:
         x = x.astype(self.dtype)
         # Stem: two strided convs -> stride 4 (reference stem reaches /4 before stages).
+        # stem1 keeps the float path (3 input channels — negligible bytes);
+        # stem2's input is the largest activation in the network (H/2 x W/2 x
+        # base), so it is the single best int8 site.
         x = nn.Conv(self.base_channels, (3, 3), strides=(2, 2), use_bias=False,
                     dtype=self.dtype, name="stem1")(x)
         x = group_norm(self.base_channels, self.dtype)(x)
         x = nn.silu(x)
-        x = nn.Conv(self.stage_channels[0], (3, 3), strides=(2, 2), use_bias=False,
-                    dtype=self.dtype, name="stem2")(x)
+        if self.quant_calib:
+            self.sow("quant_stats", "stem2_scale", _maxabs(x))
+        if self.act_quant:
+            stem2_scale = self.variable(
+                "quant", "stem2_scale", lambda: jnp.ones((), jnp.float32)
+            ).value
+            x = QuantConv(
+                self.stage_channels[0], (3, 3), strides=(2, 2),
+                out_dtype=self.dtype, name="stem2",
+            )(quantize_tensor(x, stem2_scale), stem2_scale)
+        else:
+            x = nn.Conv(self.stage_channels[0], (3, 3), strides=(2, 2), use_bias=False,
+                        dtype=self.dtype, name="stem2")(x)
         x = group_norm(self.stage_channels[0], self.dtype)(x)
         x = nn.silu(x)
 
@@ -152,6 +246,8 @@ class HybridVisionBackbone(nn.Module):
                     monitor=self.monitor,
                     precomputed_constraints=self.precomputed_constraints,
                     use_pallas=self.use_pallas,
+                    act_quant=self.act_quant,
+                    quant_calib=self.quant_calib,
                     name=f"stage{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic)
             if stage_idx in scale_names:

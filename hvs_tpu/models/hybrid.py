@@ -90,6 +90,11 @@ class HybridVisionSystem(nn.Module):
     monitor: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    # int8 serving path (backbone + head towers; hvs_tpu/ops/quant.py).
+    # act_quant reads calibrated scales from the 'quant' collection;
+    # quant_calib runs the float path while sowing 'quant_stats' ranges.
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(
@@ -109,6 +114,8 @@ class HybridVisionSystem(nn.Module):
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
             use_pallas=self.use_pallas,
+            act_quant=self.act_quant,
+            quant_calib=self.quant_calib,
             name="backbone",
         )(images, deterministic)
 
@@ -175,6 +182,8 @@ class HybridVisionSystem(nn.Module):
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
                 use_pallas=self.use_pallas,
+                act_quant=self.act_quant,
+                quant_calib=self.quant_calib,
                 name="detection_head",
             )(fused, deterministic)
             outputs["detection"] = det

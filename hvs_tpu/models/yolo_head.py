@@ -28,7 +28,13 @@ import numpy as np
 from flax import linen as nn
 
 from .layers import ManifoldHyperConnection, group_norm
+from .backbone import QuantConv
 from ..ops.nms import NMSResult, batched_nms
+from ..ops.quant import quantize_tensor
+
+
+def _head_maxabs(x: jax.Array) -> jax.Array:
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 Dtype = Any
 
@@ -90,16 +96,37 @@ class YOLOPredictionHead(nn.Module):
     monitor: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = x.astype(self.dtype)
-        y = nn.Conv(self.head_channels, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="reduce")(x)
+        # int8 serving sites for the two tower convs (the head is 21% of the
+        # HBM-bound serve program's bytes, artifacts/BYTES_r03.json); the
+        # ``predict`` logits conv stays float — its output feeds the decode's
+        # sigmoid/exp directly. Same scheme as ConvMHCBlock (backbone.py).
+        if self.quant_calib:
+            self.sow("quant_stats", "x_scale", _head_maxabs(x))
+        if self.act_quant:
+            ones = lambda: jnp.ones((), jnp.float32)  # noqa: E731
+            x_scale = self.variable("quant", "x_scale", ones).value
+            y1_scale = self.variable("quant", "y1_scale", ones).value
+            y = QuantConv(self.head_channels, (1, 1), out_dtype=self.dtype,
+                          name="reduce")(quantize_tensor(x, x_scale), x_scale)
+        else:
+            y = nn.Conv(self.head_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="reduce")(x)
         y = group_norm(self.head_channels, self.dtype)(y)
         y = nn.silu(y)
-        y = nn.Conv(self.head_channels, (3, 3), use_bias=False, dtype=self.dtype,
-                    name="conv")(y)
+        if self.quant_calib:
+            self.sow("quant_stats", "y1_scale", _head_maxabs(y))
+        if self.act_quant:
+            y = QuantConv(self.head_channels, (3, 3), out_dtype=self.dtype,
+                          name="conv")(quantize_tensor(y, y1_scale), y1_scale)
+        else:
+            y = nn.Conv(self.head_channels, (3, 3), use_bias=False, dtype=self.dtype,
+                        name="conv")(y)
         y = group_norm(self.head_channels, self.dtype)(y)
         y = nn.silu(y)
         if self.use_mhc:
@@ -198,6 +225,8 @@ class YOLODetectionHead(nn.Module):
     monitor: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(
@@ -220,6 +249,8 @@ class YOLODetectionHead(nn.Module):
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
                 use_pallas=self.use_pallas,
+                act_quant=self.act_quant,
+                quant_calib=self.quant_calib,
                 name=f"head_{key}",
             )(feat, deterministic)
             raw_outputs[key] = raw

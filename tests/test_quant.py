@@ -1,0 +1,132 @@
+"""Int8 PTQ serve path: primitives, calibration, and float/quant parity.
+
+The serve program is HBM-bandwidth-bound (artifacts/ROOFLINE_r03.json), so the
+int8 path's job is halving the bytes of the residual stream while staying
+accurate. These tests pin: quantization math, per-channel weight quant, the
+calibrate -> 'quant' collection flow, param-tree identity with the float model
+(checkpoints must load unchanged), and output closeness on a tiny backbone.
+(Reference never implements its INT8 config flags: src/inference/engine.py:
+162-193 TensorRT delegation only.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from hvs_tpu.models.backbone import HybridVisionBackbone
+from hvs_tpu.ops import (
+    build_quant_collection,
+    conv_int8,
+    dequantize_tensor,
+    merge_max_stats,
+    quantization_error,
+    quantize_tensor,
+    quantize_weight_per_channel,
+)
+
+TINY_BB = dict(
+    base_channels=8, stage_channels=(16, 24, 32, 40), stage_blocks=(1, 1, 1, 1),
+    sk_iters=3,
+)
+
+
+def test_quant_roundtrip_error_bounded():
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 64)) * 3.0
+    scale = jnp.max(jnp.abs(x))
+    err = float(quantization_error(x, scale))
+    # max roundtrip error is scale/254 per element; mean must be well under.
+    assert err < float(scale) / 127.0
+    q = quantize_tensor(x, scale)
+    assert q.dtype == jnp.int8
+    back = dequantize_tensor(q, scale, jnp.float32)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               atol=float(scale) / 127.0)
+
+
+def test_quant_uncalibrated_scale_is_finite():
+    x = jnp.ones((4, 4)) * 100.0
+    q = quantize_tensor(x, jnp.zeros(()))  # zero scale must not produce nan
+    assert np.isfinite(np.asarray(dequantize_tensor(q, jnp.zeros(())), np.float32)).all()
+
+
+def test_weight_per_channel_scales():
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 16))
+    k = k.at[..., 0].multiply(10.0)  # one loud channel must not wash out others
+    q, s = quantize_weight_per_channel(k)
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    back = q.astype(np.float32) * (np.asarray(s) / 127.0)
+    np.testing.assert_allclose(back, np.asarray(k, np.float32),
+                               atol=float(np.max(np.asarray(s))) / 127.0 + 1e-6)
+    # dead channel -> scale 1, not 0
+    k0 = k.at[..., 3].set(0.0)
+    _, s0 = quantize_weight_per_channel(k0)
+    assert float(s0[3]) == 1.0
+
+
+def test_conv_int8_matches_float_conv():
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (2, 16, 16, 8))
+    k = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 8, 16)) * 0.1
+    scale = jnp.max(jnp.abs(x))
+    y_q = conv_int8(quantize_tensor(x, scale), k, scale, out_dtype=jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    y_f = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME", dimension_numbers=dn)
+    # int8 a/w: relative error ~1% of the output range is the expected regime.
+    denom = float(jnp.max(jnp.abs(y_f))) + 1e-6
+    rel = float(jnp.max(jnp.abs(y_q - y_f))) / denom
+    assert rel < 0.05, rel
+
+
+def test_build_quant_collection_and_merge():
+    stats_a = {"block": {"x_scale": (jnp.asarray(1.5),)}}
+    stats_b = {"block": {"x_scale": (jnp.asarray(2.5),)}}
+    merged = merge_max_stats([stats_a, stats_b])
+    col = build_quant_collection(merged)
+    assert float(col["block"]["x_scale"]) == 2.5
+    col_m = build_quant_collection(merged, margin=0.8)
+    assert abs(float(col_m["block"]["x_scale"]) - 2.0) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def tiny_backbone_setup():
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (2, 64, 64, 3), jnp.float32)
+    float_bb = HybridVisionBackbone(**TINY_BB)
+    v = jax.jit(float_bb.init)(rng, imgs)
+    return float_bb, v, imgs
+
+
+@pytest.mark.slow
+def test_param_tree_identical_and_outputs_close(tiny_backbone_setup):
+    """The quantized twin must load float checkpoints unchanged and stay close."""
+    float_bb, v, imgs = tiny_backbone_setup
+    quant_bb = HybridVisionBackbone(**TINY_BB, act_quant=True)
+    vq = jax.jit(quant_bb.init)(jax.random.PRNGKey(0), imgs)
+    flat_f = set(traverse_util.flatten_dict(v["params"]))
+    flat_q = set(traverse_util.flatten_dict(vq["params"]))
+    assert flat_f == flat_q
+
+    # calibrate: run float path with quant_calib=True, fold sown ranges.
+    calib_bb = HybridVisionBackbone(**TINY_BB, quant_calib=True)
+    _, mut = jax.jit(
+        lambda vv, im: calib_bb.apply(vv, im, mutable=["quant_stats"])
+    )(v, imgs)
+    scales = build_quant_collection(mut["quant_stats"])
+    # every quant variable the int8 model declares is calibrated
+    assert set(traverse_util.flatten_dict(scales)) == set(
+        traverse_util.flatten_dict(vq["quant"])
+    )
+
+    out_f = jax.jit(float_bb.apply)(v, imgs)
+    out_q = jax.jit(quant_bb.apply)({"params": v["params"], "quant": scales}, imgs)
+    for key in out_f:
+        f = np.asarray(out_f[key], np.float32)
+        q = np.asarray(out_q[key], np.float32)
+        assert np.isfinite(q).all()
+        denom = np.abs(f).mean() + 1e-6
+        rel = np.abs(f - q).mean() / denom
+        assert rel < 0.35, (key, rel)  # int8 through 4 stages of a RANDOM
+        # (untrained, unsmoothed) net; trained-model closeness is asserted by
+        # the on-chip eval artifact (QUANT_r03.json), not this unit bound.
