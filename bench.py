@@ -95,5 +95,39 @@ def main() -> None:
     )
 
 
+def _preflight(timeout_s: float = 300.0) -> None:
+    """Fail fast (clear JSON diagnostic) instead of hanging forever.
+
+    TPU client init through this deployment's tunnel blocks INDEFINITELY when
+    the remote claim is wedged (e.g. a previous client died uncleanly) —
+    jax.devices() never returns and no in-process timeout can interrupt it.
+    Probe in a subprocess with a hard timeout so a wedged tunnel produces a
+    diagnosable one-line result rather than a silent multi-hour hang.
+    """
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if out.returncode == 0:
+            return
+        detail = (out.stderr or out.stdout or "").strip()[-300:]
+    except subprocess.TimeoutExpired:
+        detail = f"TPU client init did not complete within {timeout_s:.0f}s"
+    print(json.dumps({
+        "metric": "fps_per_chip_640_detect_e2e",
+        "value": 0,
+        "unit": "frames/sec/chip",
+        "vs_baseline": 0,
+        "error": "tpu_unavailable",
+        "detail": detail,
+    }))
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
+    _preflight()
     main()

@@ -47,7 +47,7 @@ def make_engine(args, resolution: int, quantized: bool):
 
 def load_val_images(args, resolution: int, limit=None):
     from hvs_tpu.data import COCODataset
-    from hvs_tpu.data.dataset import letterbox, load_image
+    from hvs_tpu.data.dataset import load_image
 
     dataset = COCODataset(
         root=os.path.join(args.data_root, "val"),

@@ -24,6 +24,19 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent XLA compile cache, keyed by HLO hash. Two big wins on a 1-core
+# CI host: (a) WITHIN one run, identical programs compiled by different jit
+# objects (each engine deserializes the same AOT blob into a fresh callable;
+# the multihost test's two subprocesses compile the same train step) become
+# ~1s cache hits instead of 10-60s XLA CPU compiles; (b) ACROSS runs the whole
+# suite warm-starts. The dir is machine-local (not committed); subprocess
+# tests inherit it via the env var below.
+_JAX_TEST_CACHE = os.environ.setdefault(
+    "HVS_TEST_JAX_CACHE", os.path.join(tempfile.gettempdir(), "hvs_jax_test_cache")
+)
+jax.config.update("jax_compilation_cache_dir", _JAX_TEST_CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
 
@@ -33,7 +46,8 @@ assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tes
 # thousands of ops on this 1-core host) is marked slow automatically, keyed by
 # the expensive fixtures, plus explicit module marks. CI lanes:
 #   pytest -m "not slow"   fast lane (<2 min)
-#   pytest                 everything
+#   pytest                 default lane, <10 min (pyproject addopts deselect heavy)
+#   pytest -m heavy        heavyweight integration lane (~20 min)
 _SLOW_FIXTURES = {
     "trainer", "engine", "swap_engine", "ema_trainer", "pipeline",
     "api_server", "grpc_server", "model", "variables",
@@ -49,6 +63,10 @@ def pytest_collection_modifyitems(config, items):
         if _SLOW_FIXTURES & set(getattr(item, "fixturenames", ())) or (
             item.module.__name__ in _SLOW_MODULES
         ):
+            item.add_marker(pytest.mark.slow)
+        # heavy implies slow: `-m "not slow"` (fast lane) must never pick up a
+        # heavyweight integration test that lacks an explicit slow mark.
+        if item.get_closest_marker("heavy") is not None:
             item.add_marker(pytest.mark.slow)
 
 

@@ -277,6 +277,7 @@ def test_export_weights_and_reload(engine, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_export_stablehlo_consistency(engine, tmp_path):
     exporter = ModelExporter(engine.model, engine.variables, image_size=64)
     path = exporter.export_stablehlo(str(tmp_path / "model.stablehlo"))

@@ -130,6 +130,7 @@ def test_sample_batch_is_jittable_and_deterministic():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_train_chunk_end_to_end_tiny():
     """Two scanned steps with on-device sampling on a tiny model."""
     from hvs_tpu.models import HybridVisionSystem

@@ -103,6 +103,7 @@ def test_detect_during_config_rebuild(swap_engine):
     assert not errors, errors
 
 
+@pytest.mark.heavy
 def test_batcher_survives_swap(swap_engine):
     """Micro-batcher thread mid-flight while weights swap.
 

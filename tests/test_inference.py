@@ -140,6 +140,7 @@ def test_async_engine(engine):
     assert det.latency_ms > 0
 
 
+@pytest.mark.heavy
 def test_engine_hot_reload(engine):
     """Model swap keeps serving (backs POST /models/switch)."""
     import jax
@@ -284,6 +285,7 @@ def test_commands_from_detections(engine):
 
 
 @pytest.mark.integration
+@pytest.mark.heavy
 def test_complete_pipeline_synthetic_camera():
     pipe = CompleteInferencePipeline(
         tiny_model_config(), tiny_inference_config(), camera_source="synthetic",
@@ -297,6 +299,7 @@ def test_complete_pipeline_synthetic_camera():
     assert summary["fps"] > 0
 
 
+@pytest.mark.heavy
 def test_aot_serve_cache_roundtrip(tmp_path, monkeypatch):
     """Serve programs export to disk and reload WITHOUT retracing.
 

@@ -91,8 +91,12 @@ os.environ["XLA_FLAGS"] = (
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(out_path), "jax_cache"))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "HVS_TEST_JAX_CACHE", os.path.join(os.path.dirname(out_path), "jax_cache")
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from hvs_tpu.parallel import initialize_distributed, make_mesh
@@ -138,6 +142,7 @@ print("WORKER_OK", pid)
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_two_process_real_train_step_matches_single_process(tmp_path):
     """The REAL ManifoldConstrainedTrainer train step (model fwd+bwd + optax
     + manifold regularization) under jax.distributed with 2 processes must
@@ -204,6 +209,7 @@ def test_two_process_real_train_step_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_two_process_distributed_grad_matches_single_process(tmp_path):
     import socket
 

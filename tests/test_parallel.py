@@ -98,6 +98,7 @@ def test_psum_gradient_allreduce_semantics():
     np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_sharded), rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip_entrypoint():
     """The driver's multichip dry run must execute on the virtual mesh."""
     import __graft_entry__ as ge

@@ -39,8 +39,13 @@ TINY = dict(
 # (checkpoint_dir, stability thresholds, logging, plateau) are free to vary.
 BASE_TRAINER_KW = dict(
     num_classes=4, sk_iters=5, project_every=5, warmup_steps=2, total_steps=100,
+    # EMA on in the SHARED step: a separate no-EMA variant would double the
+    # most expensive trace in the suite (~100 s on this host) for no extra
+    # coverage — no test asserts EMA-off behavior, and EMA-in-step is the
+    # production configuration.
+    ema_decay=0.9,
 )
-EMA_TRAINER_KW = dict(BASE_TRAINER_KW, ema_decay=0.9)
+EMA_TRAINER_KW = BASE_TRAINER_KW
 
 
 def synthetic_batch(batch=4, size=64, n_boxes=8, seed=0):
@@ -84,6 +89,7 @@ def test_build_targets_assigns_each_gt_once():
     assert sum(float(jnp.sum(t2[k]["obj"])) for k in t2) == 0.0
 
 
+@pytest.mark.heavy
 def test_yolo_loss_decreases_toward_perfect_prediction():
     """Loss at a 'perfect' raw prediction is lower than at a random one."""
     grids = [(8, 8), (4, 4), (2, 2)]
@@ -103,6 +109,7 @@ def test_yolo_loss_decreases_toward_perfect_prediction():
     assert float(m["num_positives"]) == 1.0
 
 
+@pytest.mark.heavy
 def test_manifold_regularization_nonnegative_and_differentiable():
     model = HybridVisionSystem(**TINY)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), task="detection")
@@ -195,6 +202,7 @@ def test_manifold_aware_scheduler():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_multi_step_gradient_stability(trainer):
     """10 steps: finite loss, bounded grad norms (reference asserts
     1e-8 < ||g|| < 1000 over 20 steps)."""

@@ -126,6 +126,7 @@ def test_spike_between_checks_still_alerts(tmp_path):
     assert any("gradient_explosion" in a for a in report["alerts"])
 
 
+@pytest.mark.heavy
 def test_metrics_jsonl_written(tmp_path):
     log_path = tmp_path / "steps.jsonl"
     t = _make_trainer(
@@ -145,6 +146,7 @@ def test_step_checkpointing(tmp_path):
     assert os.path.isdir(tmp_path / "step_2")
 
 
+@pytest.mark.heavy
 def test_stability_scale_recovers_after_clean_checks(tmp_path):
     """Corrections are a brake, not a ratchet: lr_scale climbs back toward
     1.0 once checks pass clean (reference recovery: scheduler.py:306-449)."""
