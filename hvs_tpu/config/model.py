@@ -113,6 +113,9 @@ class QuantizationConfig:
     enabled: bool = False
     scales_path: Optional[str] = None
     margin: float = 1.0
+    # Extend int8 to the FPN laterals/refines/projections (a further ~11% of
+    # serve bytes). Separate knob so its accuracy cost is measurable alone.
+    quantize_fpn: bool = False
 
 
 @dataclass
@@ -219,4 +222,9 @@ class ModelConfig(BaseConfig):
             # int8 is a pure serving transform: float training checkpoints
             # load unchanged (QuantConv declares the identical kernel params).
             act_quant=production and self.quantization.enabled,
+            act_quant_fpn=(
+                production
+                and self.quantization.enabled
+                and self.quantization.quantize_fpn
+            ),
         )

@@ -52,18 +52,42 @@ class FeaturePyramidNetwork(nn.Module):
     monitor: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(
         self, features: Dict[str, jax.Array], deterministic: bool = True
     ) -> Dict[str, jax.Array]:
+        # int8 sites (same scheme as backbone.py; FPN is ~11% of the serve
+        # program's HBM bytes, artifacts/BYTES_r03.json): the lateral inputs
+        # (the wide backbone scales), the refine 3x3s, and the output
+        # projections. The top-down adds and mHC stay bf16.
+        from ..ops.quant import quantize_tensor
+        from .backbone import QuantConv, _maxabs
+
+        ones = lambda: jnp.ones((), jnp.float32)  # noqa: E731
         feats = [features[k].astype(self.dtype) for k in SCALES]  # small, medium, large
 
-        laterals = [
-            nn.Conv(self.fpn_channels, (1, 1), use_bias=False, dtype=self.dtype,
-                    name=f"lateral{i}")(f)
-            for i, f in enumerate(feats)
-        ]
+        if self.quant_calib:
+            for i, f in enumerate(feats):
+                self.sow("quant_stats", f"lat{i}_scale", _maxabs(f))
+        if self.act_quant:
+            lat_scales = [
+                self.variable("quant", f"lat{i}_scale", ones).value
+                for i in range(3)
+            ]
+            laterals = [
+                QuantConv(self.fpn_channels, (1, 1), out_dtype=self.dtype,
+                          name=f"lateral{i}")(quantize_tensor(f, s), s)
+                for i, (f, s) in enumerate(zip(feats, lat_scales))
+            ]
+        else:
+            laterals = [
+                nn.Conv(self.fpn_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"lateral{i}")(f)
+                for i, f in enumerate(feats)
+            ]
 
         # Top-down pathway: large -> medium -> small.
         td = [None, None, None]
@@ -74,8 +98,15 @@ class FeaturePyramidNetwork(nn.Module):
         outputs: Dict[str, jax.Array] = {}
         out_names = ("fused_small", "fused_medium", "fused_large")
         for i, (name, out_ch) in enumerate(zip(out_names, self.out_channels)):
-            y = nn.Conv(self.fpn_channels, (3, 3), use_bias=False, dtype=self.dtype,
-                        name=f"refine{i}")(td[i])
+            if self.quant_calib:
+                self.sow("quant_stats", f"td{i}_scale", _maxabs(td[i]))
+            if self.act_quant:
+                td_s = self.variable("quant", f"td{i}_scale", ones).value
+                y = QuantConv(self.fpn_channels, (3, 3), out_dtype=self.dtype,
+                              name=f"refine{i}")(quantize_tensor(td[i], td_s), td_s)
+            else:
+                y = nn.Conv(self.fpn_channels, (3, 3), use_bias=False,
+                            dtype=self.dtype, name=f"refine{i}")(td[i])
             y = group_norm(self.fpn_channels, self.dtype)(y)
             y = nn.silu(y)
             if self.use_mhc:
@@ -91,8 +122,15 @@ class FeaturePyramidNetwork(nn.Module):
                     use_pallas=self.use_pallas,
                     name=f"mhc{i}",
                 )(y, deterministic)
-            outputs[name] = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                                    name=f"out{i}")(y)
+            if self.quant_calib:
+                self.sow("quant_stats", f"y{i}_scale", _maxabs(y))
+            if self.act_quant:
+                y_s = self.variable("quant", f"y{i}_scale", ones).value
+                outputs[name] = QuantConv(out_ch, (1, 1), out_dtype=self.dtype,
+                                          name=f"out{i}")(quantize_tensor(y, y_s), y_s)
+            else:
+                outputs[name] = nn.Conv(out_ch, (1, 1), use_bias=False,
+                                        dtype=self.dtype, name=f"out{i}")(y)
         return outputs
 
 

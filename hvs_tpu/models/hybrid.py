@@ -92,8 +92,12 @@ class HybridVisionSystem(nn.Module):
     use_pallas: bool = False
     # int8 serving path (backbone + head towers; hvs_tpu/ops/quant.py).
     # act_quant reads calibrated scales from the 'quant' collection;
-    # quant_calib runs the float path while sowing 'quant_stats' ranges.
+    # quant_calib runs the float path while sowing 'quant_stats' ranges
+    # (always at ALL sites — the calibration is a superset, the quant model
+    # reads only the sites its flags enable). act_quant_fpn extends int8 to
+    # the FPN laterals/refines/projections (a further ~11% of serve bytes).
     act_quant: bool = False
+    act_quant_fpn: bool = False
     quant_calib: bool = False
 
     @nn.compact
@@ -144,6 +148,8 @@ class HybridVisionSystem(nn.Module):
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
             use_pallas=self.use_pallas,
+            act_quant=self.act_quant_fpn,
+            quant_calib=self.quant_calib,
             name="fpn",
         )(scales, deterministic)
 

@@ -28,7 +28,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_engine(args, resolution: int, quantized: bool):
+def make_engine(args, resolution: int, quantized: bool, fpn: bool = False):
     from hvs_tpu.config import InferenceConfig, ModelConfig
     from hvs_tpu.inference import InferenceEngine
 
@@ -37,6 +37,7 @@ def make_engine(args, resolution: int, quantized: bool):
     if quantized:
         mcfg.quantization.enabled = True
         mcfg.quantization.scales_path = args.scales_out
+        mcfg.quantization.quantize_fpn = fpn
     icfg = InferenceConfig()
     icfg.preprocessing.image_size = resolution
     icfg.postprocessing.score_threshold = 0.05
@@ -150,6 +151,8 @@ def main():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--bench-batch", type=int, default=16)
     p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--eval-fpn", action="store_true",
+                   help="also evaluate the int8+FPN variant (quantize_fpn)")
     p.add_argument("--scales-out", default="runs/r3/checkpoints/quant_scales.msgpack")
     p.add_argument("--output", default="QUANT_r03.json")
     args = p.parse_args()
@@ -191,24 +194,25 @@ def main():
         else:
             fe = make_engine(args, res, quantized=False)
             _, ims, g = load_val_images(args, res, args.max_images)
-        qe = make_engine(args, res, quantized=True)
-
         acc_f = evaluate(fe, class_names, ims, g)
-        acc_q = evaluate(qe, class_names, ims, g)
         fps_f = measure_fps(fe, res, args.bench_batch)
-        fps_q = measure_fps(qe, res, args.bench_batch)
-        entry = {
-            "float": {**acc_f, **fps_f},
-            "int8": {**acc_q, **fps_q},
-            "mAP@0.5_delta": round(
-                (acc_q.get("mAP@0.5") or 0) - (acc_f.get("mAP@0.5") or 0), 4
-            ),
-            "speedup": round(fps_q["fps"] / max(fps_f["fps"], 1e-6), 3),
-        }
+        entry = {"float": {**acc_f, **fps_f}}
+        variants = [("int8", False)] + ([("int8_fpn", True)] if args.eval_fpn else [])
+        for label, fpn in variants:
+            qe = make_engine(args, res, quantized=True, fpn=fpn)
+            acc_q = evaluate(qe, class_names, ims, g)
+            fps_q = measure_fps(qe, res, args.bench_batch)
+            entry[label] = {
+                **acc_q, **fps_q,
+                "mAP@0.5_delta": round(
+                    (acc_q.get("mAP@0.5") or 0) - (acc_f.get("mAP@0.5") or 0), 4
+                ),
+                "speedup": round(fps_q["fps"] / max(fps_f["fps"], 1e-6), 3),
+            }
+            print(f"@{res} {label}: mAP={acc_q.get('mAP@0.5')} "
+                  f"(float {acc_f.get('mAP@0.5')}) {fps_q['fps']} FPS "
+                  f"({entry[label]['speedup']}x vs {fps_f['fps']})", flush=True)
         report["resolutions"][str(res)] = entry
-        print(f"@{res}: float mAP={acc_f.get('mAP@0.5')} {fps_f['fps']} FPS | "
-              f"int8 mAP={acc_q.get('mAP@0.5')} {fps_q['fps']} FPS "
-              f"({entry['speedup']}x)", flush=True)
 
     with open(args.output, "w") as f:
         json.dump(report, f, indent=1)
