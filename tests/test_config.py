@@ -45,6 +45,24 @@ def test_model_config_builds_model():
     assert prod.precomputed_constraints
 
 
+def test_quantization_config_roundtrip_and_build(tmp_path):
+    """quantization.* survives YAML round-trip and gates the int8 twin."""
+    cfg = ModelConfig(input_size=64)
+    cfg.quantization.enabled = True
+    cfg.quantization.scales_path = "scales.msgpack"
+    cfg.quantization.quantize_fpn = True
+    p = tmp_path / "model.yaml"
+    cfg.save(str(p))
+    loaded = ModelConfig.load(str(p))
+    assert loaded.quantization.enabled
+    assert loaded.quantization.scales_path == "scales.msgpack"
+    assert loaded.quantization.quantize_fpn
+    # int8 is serving-only: the training build stays float.
+    assert not loaded.build_model().act_quant
+    prod = loaded.build_model(production=True)
+    assert prod.act_quant and prod.act_quant_fpn
+
+
 def test_yaml_roundtrip(tmp_path):
     cfg = TrainingConfig(epochs=7)
     cfg.optimizer.learning_rate = 3e-4
