@@ -32,7 +32,19 @@ def main() -> None:
     from hvs_tpu.models import ProductionHybridVision, compute_constraints
     from hvs_tpu.models.yolo_head import postprocess_detections
 
-    model = ProductionHybridVision(sk_iters=20)
+    import os
+
+    # HVS_BENCH_QUANT=1 benchmarks the int8 serve path (hvs_tpu/ops/quant.py):
+    # backbone residual stream + head towers W8A8 (+FPN with =2). Throughput
+    # does not depend on the scale VALUES, so identity scales suffice here;
+    # accuracy of the quantized path is evidenced separately by
+    # scripts/quantize.py (QUANT_r03.json) on the trained checkpoint.
+    quant_mode = int(os.environ.get("HVS_BENCH_QUANT", "0") or 0)
+    model = ProductionHybridVision(
+        sk_iters=20,
+        act_quant=quant_mode >= 1,
+        act_quant_fpn=quant_mode >= 2,
+    )
     rng = jax.random.PRNGKey(0)
     init_images = jnp.zeros((1, 640, 640, 3), jnp.float32)
     # jit the init: eager flax init dispatches thousands of tiny ops (minutes on
@@ -41,10 +53,13 @@ def main() -> None:
         rng, init_images
     )
     # Serving fast path: constrained matrices computed once at load.
-    variables = {
+    prepared = {
         "params": variables["params"],
         "constraints": compute_constraints(variables["params"], sk_iters=20),
     }
+    if quant_mode:
+        prepared["quant"] = variables["quant"]  # identity scales from init
+    variables = prepared
 
     @jax.jit
     def serve(images):
