@@ -34,6 +34,19 @@ def make_engine(args, resolution: int, quantized: bool, fpn: bool = False):
 
     mcfg = ModelConfig()
     mcfg.detection.num_classes = args.num_classes
+    if args.tiny:
+        # Flow-validation mode (CPU-sized): exercises calibrate -> scales
+        # sidecar -> quantized engine -> eval -> fps without flagship traces.
+        mcfg.backbone.base_channels = 8
+        mcfg.backbone.stage_channels = (16, 24, 32, 40)
+        mcfg.backbone.stage_blocks = (1, 1, 1, 1)
+        mcfg.vit.dim = 16
+        mcfg.vit.depth = 1
+        mcfg.vit.num_heads = 2
+        mcfg.fusion.fpn_channels = 16
+        mcfg.fusion.out_channels = (16, 24, 32)
+        mcfg.detection.head_channels = 16
+        mcfg.mhc.sinkhorn_iterations = 5
     if quantized:
         mcfg.quantization.enabled = True
         mcfg.quantization.scales_path = args.scales_out
@@ -41,7 +54,7 @@ def make_engine(args, resolution: int, quantized: bool, fpn: bool = False):
     icfg = InferenceConfig()
     icfg.preprocessing.image_size = resolution
     icfg.postprocessing.score_threshold = 0.05
-    icfg.checkpoint_path = args.checkpoint
+    icfg.checkpoint_path = None if args.random_init else args.checkpoint
     icfg.use_ema = not args.no_ema
     return InferenceEngine(mcfg, icfg)
 
@@ -141,7 +154,11 @@ def measure_fps(engine, resolution: int, batch: int, iters: int = 30):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="flow-validation mode: tiny model (CPU-sized)")
+    p.add_argument("--random-init", action="store_true",
+                   help="skip checkpoint loading (flow validation only)")
     p.add_argument("--data-root", default="data/shapes640")
     p.add_argument("--num-classes", type=int, default=8)
     p.add_argument("--resolutions", default="416,640")
@@ -156,6 +173,9 @@ def main():
     p.add_argument("--scales-out", default="runs/r3/checkpoints/quant_scales.msgpack")
     p.add_argument("--output", default="QUANT_r03.json")
     args = p.parse_args()
+
+    if not args.checkpoint and not args.random_init:
+        p.error("--checkpoint is required (or pass --random-init for flow validation)")
 
     from flax import serialization
 
