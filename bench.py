@@ -122,15 +122,25 @@ def _preflight(timeout_s: float = 300.0) -> None:
     import subprocess
     import sys
 
+    proc = subprocess.Popen(
+        [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
     try:
-        out = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        if out.returncode == 0:
+        out, _ = proc.communicate(timeout=timeout_s)
+        if proc.returncode == 0:
             return
-        detail = (out.stderr or out.stdout or "").strip()[-300:]
+        detail = (out or "").strip()[-300:]
     except subprocess.TimeoutExpired:
+        # SIGTERM first with a grace period: SIGKILLing a TPU-attached probe
+        # mid-claim is exactly what wedges the remote claim (verify SKILL.md);
+        # a clean teardown lets PJRT release it.
+        proc.terminate()
+        try:
+            proc.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
         detail = f"TPU client init did not complete within {timeout_s:.0f}s"
     print(json.dumps({
         "metric": "fps_per_chip_640_detect_e2e",

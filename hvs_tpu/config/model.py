@@ -112,7 +112,8 @@ class QuantizationConfig:
 
     enabled: bool = False
     scales_path: Optional[str] = None
-    margin: float = 1.0
+    # Calibration headroom lives at calibration time (scripts/quantize.py
+    # --margin), not here: the serving engine only CONSUMES finished scales.
     # Extend int8 to the FPN laterals/refines/projections (a further ~11% of
     # serve bytes). Separate knob so its accuracy cost is measurable alone.
     quantize_fpn: bool = False

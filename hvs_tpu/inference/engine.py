@@ -192,6 +192,12 @@ class InferenceEngine:
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, self.image_size, self.image_size, 3), jnp.float32),
             )
+            if "quant" in variables:
+                # init of an act_quant model creates IDENTITY scales — they
+                # must not shadow the calibrated sidecar (scales_path) in
+                # _prepare_variables; only caller-provided trees (hot swap,
+                # tests) may carry authoritative embedded scales.
+                variables = {k: v for k, v in variables.items() if k != "quant"}
         self.variables = self._prepare_variables(variables)
 
         # Serve-fn cache. Weights enter the jitted functions as ARGUMENTS

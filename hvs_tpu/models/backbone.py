@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.quant import conv_int8, dequantize_tensor, quantize_tensor
+from ..ops.quant import calib_maxabs, conv_int8, dequantize_tensor, quantize_tensor
 from .layers import ManifoldHyperConnection, SqueezeExcite, group_norm
 
 Dtype = Any
@@ -64,8 +64,7 @@ class QuantConv(nn.Module):
         )
 
 
-def _maxabs(x: jax.Array) -> jax.Array:
-    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+_maxabs = calib_maxabs  # calibration statistic (single definition in ops.quant)
 
 
 class ConvMHCBlock(nn.Module):

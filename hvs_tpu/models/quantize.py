@@ -46,16 +46,24 @@ def calibrate_quant_scales(
         The 'quant' collection: ``model.clone(act_quant=True).apply(
         {**variables, 'quant': scales}, ...)`` serves int8.
     """
-    calib_model = model.clone(act_quant=False, quant_calib=True)
+    calib_model = model.clone(
+        act_quant=False, act_quant_fpn=False, quant_calib=True
+    )
+    # Drop any 'quant' collection riding along (e.g. identity scales from an
+    # act_quant model's init): the float calib model must not require it.
+    float_vars = {k: v for k, v in variables.items() if k != "quant"}
 
     @jax.jit
-    def collect(images):
+    def collect(vs, images):
+        # variables enter as an ARGUMENT — closing over them would bake the
+        # full param tree into the XLA program as constants (slow compile,
+        # duplicated memory, recompile per checkpoint).
         _, mutated = calib_model.apply(
-            variables, images, task=task, mutable=["quant_stats"]
+            vs, images, task=task, mutable=["quant_stats"]
         )
         return mutated["quant_stats"]
 
-    stats = [jax.device_get(collect(images)) for images in image_batches]
+    stats = [jax.device_get(collect(float_vars, images)) for images in image_batches]
     if not stats:
         raise ValueError("calibration requires at least one image batch")
     return build_quant_collection(merge_max_stats(stats), margin=margin)

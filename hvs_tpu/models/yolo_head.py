@@ -30,11 +30,7 @@ from flax import linen as nn
 from .layers import ManifoldHyperConnection, group_norm
 from .backbone import QuantConv
 from ..ops.nms import NMSResult, batched_nms
-from ..ops.quant import quantize_tensor
-
-
-def _head_maxabs(x: jax.Array) -> jax.Array:
-    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+from ..ops.quant import calib_maxabs as _head_maxabs, quantize_tensor
 
 Dtype = Any
 

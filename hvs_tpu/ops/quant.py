@@ -41,6 +41,13 @@ import jax.numpy as jnp
 INT8_MAX = 127.0
 
 
+def calib_maxabs(x: jax.Array) -> jax.Array:
+    """Per-tensor max-abs in fp32 — the calibration statistic every quant
+    site sows (one definition so a future change, e.g. percentile
+    calibration, cannot silently diverge between backbone/FPN/head)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
 def quantize_tensor(x: jax.Array, scale: jax.Array) -> jax.Array:
     """Symmetric per-tensor int8 quantization: q = round(x / scale * 127).
 
