@@ -110,45 +110,42 @@ def main() -> None:
     )
 
 
-def _preflight(timeout_s: float = 300.0) -> None:
+def _preflight(timeout_s: float = 240.0, retry_wait_s: float = 300.0) -> None:
     """Fail fast (clear JSON diagnostic) instead of hanging forever.
 
     TPU client init through this deployment's tunnel blocks INDEFINITELY when
     the remote claim is wedged (e.g. a previous client died uncleanly) —
     jax.devices() never returns and no in-process timeout can interrupt it.
-    Probe in a subprocess with a hard timeout so a wedged tunnel produces a
-    diagnosable one-line result rather than a silent multi-hour hang.
+    Probe in a subprocess with a hard timeout (clean SIGTERM teardown, see
+    scripts/tpu_recover.py) so a wedged tunnel produces a diagnosable one-line
+    result rather than a silent multi-hour hang. On failure, attempt ONE
+    recovery cycle (wait for possible remote-claim expiry, re-probe) and write
+    a post-mortem artifact before emitting tpu_unavailable.
     """
-    import subprocess
+    import os
     import sys
+    import time
 
-    proc = subprocess.Popen(
-        [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
-    try:
-        out, _ = proc.communicate(timeout=timeout_s)
-        if proc.returncode == 0:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    from tpu_recover import probe_once, write_postmortem
+
+    log_path = "/tmp/bench_preflight_probes.jsonl"
+    for attempt in range(2):
+        r = probe_once(timeout_s)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        if r["ok"]:
             return
-        detail = (out or "").strip()[-300:]
-    except subprocess.TimeoutExpired:
-        # SIGTERM first with a grace period: SIGKILLing a TPU-attached probe
-        # mid-claim is exactly what wedges the remote claim (verify SKILL.md);
-        # a clean teardown lets PJRT release it.
-        proc.terminate()
-        try:
-            proc.communicate(timeout=15)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            proc.communicate()
-        detail = f"TPU client init did not complete within {timeout_s:.0f}s"
+        if attempt == 0:
+            time.sleep(retry_wait_s)
+    write_postmortem(log_path, "artifacts/TPU_WEDGE_POSTMORTEM.json")
     print(json.dumps({
         "metric": "fps_per_chip_640_detect_e2e",
         "value": 0,
         "unit": "frames/sec/chip",
         "vs_baseline": 0,
         "error": "tpu_unavailable",
-        "detail": detail,
+        "detail": r["detail"],
     }))
     raise SystemExit(1)
 

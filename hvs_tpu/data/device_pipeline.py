@@ -108,14 +108,22 @@ def load_coco_arrays(
         assert meta["height"] == size and meta["width"] == size, (
             "device pipeline requires uniform square frames"
         )
-        bgr = cv2.imread(os.path.join(root, split, meta["file_name"]))
+        def _read(path: str, flags: int = cv2.IMREAD_COLOR) -> np.ndarray:
+            img = cv2.imread(path, flags)
+            if img is None:
+                raise FileNotFoundError(
+                    f"missing or unreadable image: {path}"
+                )
+            return img
+
+        bgr = _read(os.path.join(root, split, meta["file_name"]))
         images[i] = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         if dense:
             stem = meta["file_name"].replace(".jpg", ".png")
-            seg[i] = cv2.imread(
+            seg[i] = _read(
                 os.path.join(root, "masks", split, stem), cv2.IMREAD_UNCHANGED
             )
-            depth[i] = cv2.imread(
+            depth[i] = _read(
                 os.path.join(root, "depth", split, stem), cv2.IMREAD_UNCHANGED
             ).astype(np.float32) / 1000.0
         for j, a in enumerate(by_image[meta["id"]][:max_boxes]):

@@ -25,6 +25,27 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def _assign(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimum-cost assignment: Hungarian via scipy when available, else a
+    greedy cheapest-pair sweep (scipy is an optional dependency here — it is
+    used nowhere else in the package)."""
+    try:
+        from scipy.optimize import linear_sum_assignment
+    except ImportError:
+        order = np.dstack(np.unravel_index(np.argsort(cost, axis=None),
+                                           cost.shape))[0]
+        rows, cols, used_r, used_c = [], [], set(), set()
+        for ti, di in order:
+            if ti in used_r or di in used_c:
+                continue
+            rows.append(ti)
+            cols.append(di)
+            used_r.add(ti)
+            used_c.add(di)
+        return np.asarray(rows, np.int64), np.asarray(cols, np.int64)
+    return linear_sum_assignment(cost)
+
+
 def _np_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
     rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
@@ -201,9 +222,16 @@ class AppearanceTracker:
         self.max_age = max_age
         self.min_hits = min_hits
         self.tracks: List[Track] = []
-        self._embeddings: Dict[int, np.ndarray] = {}
+        # track_id -> L2-normalized embedding, or None for tracks created on
+        # an embedding-less (fallback) frame; None means "no appearance signal
+        # yet" and is treated as max cosine distance in the cost matrix.
+        self._embeddings: Dict[int, Optional[np.ndarray]] = {}
         self._next_id = itertools.count(1)
         self._iou_fallback = DetectionTracker(max_age=max_age, min_hits=min_hits)
+        # One shared ID counter: independent counters would mint duplicate
+        # track_ids across the fallback and appearance paths and silently
+        # cross-contaminate self._embeddings.
+        self._iou_fallback._next_id = self._next_id
 
     def update(
         self,
@@ -217,6 +245,10 @@ class AppearanceTracker:
             self._iou_fallback.tracks = self.tracks
             out = self._iou_fallback.update(boxes, scores, classes)
             self.tracks = self._iou_fallback.tracks
+            # Seed placeholder embeddings for tracks the fallback created so a
+            # later embedding frame doesn't KeyError.
+            for t in self.tracks:
+                self._embeddings.setdefault(t.track_id, None)
             return out
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         emb = np.asarray(embeddings, np.float32)
@@ -228,9 +260,14 @@ class AppearanceTracker:
         matched_dets: set = set()
         if self.tracks and len(boxes):
             track_boxes = np.stack([t.box for t in self.tracks])
-            track_emb = np.stack(
-                [self._embeddings[t.track_id] for t in self.tracks]
-            )
+            dim = emb.shape[-1]
+            # None placeholder (track born on a fallback frame) -> zero vector
+            # -> cosine distance 1.0: no appearance signal, IoU can still match.
+            track_emb = np.stack([
+                e if (e := self._embeddings.get(t.track_id)) is not None
+                else np.zeros(dim, np.float32)
+                for t in self.tracks
+            ])
             iou = _np_iou(track_boxes, boxes)
             cos_dist = 1.0 - track_emb @ emb.T  # [T, D]
             cost = (
@@ -244,10 +281,7 @@ class AppearanceTracker:
             gate |= track_cls[:, None] != np.asarray(classes)[None, :]
             BIG = 1e6
             cost = np.where(gate, BIG, cost)
-            from scipy.optimize import linear_sum_assignment
-
-            rows, cols = linear_sum_assignment(cost)
-            for ti, di in zip(rows, cols):
+            for ti, di in zip(*_assign(cost)):
                 if cost[ti, di] >= BIG:
                     continue
                 t = self.tracks[ti]
@@ -257,11 +291,15 @@ class AppearanceTracker:
                 t.age = 0
                 t.history.append(boxes[di])
                 tid = t.track_id
-                mixed = (
-                    self.momentum * self._embeddings[tid]
-                    + (1.0 - self.momentum) * emb[di]
-                )
-                self._embeddings[tid] = mixed / (np.linalg.norm(mixed) + 1e-6)
+                prev = self._embeddings.get(tid)
+                if prev is None:
+                    self._embeddings[tid] = emb[di]
+                else:
+                    mixed = (
+                        self.momentum * prev
+                        + (1.0 - self.momentum) * emb[di]
+                    )
+                    self._embeddings[tid] = mixed / (np.linalg.norm(mixed) + 1e-6)
                 matched_tracks.add(ti)
                 matched_dets.add(di)
 
@@ -349,13 +387,29 @@ class DetectionPostprocessor:
         outputs: Any,
         image_size: Tuple[int, int] = (416, 416),
         normalized: bool = True,
+        embeddings: Optional[np.ndarray] = None,
     ) -> Dict[str, np.ndarray]:
+        """``embeddings`` (optional, [N, D], aligned with the raw detections
+        in ``outputs``) feed the appearance tracker when ``tracking=
+        "appearance"``; without them the tracker degrades to pure IoU."""
         boxes, scores = self.extract(outputs)
         class_scores = scores.max(-1)
         class_ids = scores.argmax(-1).astype(np.int32)
         class_scores = self.calibrate(class_scores)
 
         b, s, c = self.nms.apply(boxes, class_scores, class_ids)
+        sel_emb: Optional[np.ndarray] = None
+        if embeddings is not None and len(b):
+            # NMS passes box coordinates through unmodified, so surviving
+            # boxes match their raw detections bit-exactly (done BEFORE the
+            # image-size scaling below).
+            raw = np.asarray(boxes, np.float32).reshape(-1, 4)
+            emb = np.asarray(embeddings, np.float32).reshape(len(raw), -1)
+            idxs = np.asarray(
+                [np.flatnonzero((raw == bb).all(1))[:1].sum() for bb in b],
+                np.int64,
+            )
+            sel_emb = emb[idxs]
         if normalized and len(b):
             h, w = image_size
             b = b * np.array([w, h, w, h], np.float32)
@@ -369,10 +423,15 @@ class DetectionPostprocessor:
                 & (ar > 1.0 / self.max_aspect_ratio)
             )
             b, s, c = b[keep], s[keep], c[keep]
+            if sel_emb is not None:
+                sel_emb = sel_emb[keep]
 
         result = {"boxes": b, "scores": s, "classes": c}
         if self.tracker is not None:
-            tracks = self.tracker.update(b, s, c)
+            if isinstance(self.tracker, AppearanceTracker):
+                tracks = self.tracker.update(b, s, c, sel_emb)
+            else:
+                tracks = self.tracker.update(b, s, c)
             result["track_ids"] = np.asarray([t.track_id for t in tracks], np.int64)
             result["tracked_boxes"] = (
                 np.stack([t.smoothed_box() for t in tracks])
