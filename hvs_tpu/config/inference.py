@@ -91,6 +91,9 @@ class PerformanceConfig:
     max_queue_delay_ms: float = 10.0
     warmup_iterations: int = 3
     latency_target_ms: float = 50.0
+    # Queueing-delay budget for admission-queue sizing (micro-batcher depth =
+    # budget / measured per-item service time); 0 -> use latency_target_ms.
+    queue_budget_ms: float = 0.0
     fps_target: float = 30.0
     compile_cache_dir: Optional[str] = ".jax_cache"
     # Admission control (VERDICT r2 item 1): bound the micro-batch queue so

@@ -257,6 +257,17 @@ class InferenceMetrics:
     def record_error(self) -> None:
         self.errors += 1
 
+    def reset(self) -> None:
+        """Open a fresh measurement window. Called after warmup so that
+        compile/AOT-load latencies recorded during warm batches never leak
+        into serving stats (the round-3 closed run reported p99 = 38.5 s
+        from exactly this: its first-bucket warm-up was inside the window)."""
+        self.latencies.clear()
+        self.batch_sizes.clear()
+        self.errors = 0
+        self.total_requests = 0
+        self._start = time.time()
+
     def summary(self) -> Dict[str, float]:
         if not self.latencies:
             return {"count": 0}

@@ -146,7 +146,15 @@ def main():
         warm = letterbox(warm, args.image_size)[0]
     for b in icfg.performance.batch_buckets:
         print(f"warming bucket {b}...", file=sys.stderr, flush=True)
+        engine.infer_batch([warm] * b)  # compile / AOT-load
+        # Steady-state service time per bucket feeds the micro-batcher's
+        # latency-budget queue sizing (depth = budget / per-item service).
+        # Includes one blocking tunnel RTT — conservative (smaller queue).
+        t0 = time.perf_counter()
         engine.infer_batch([warm] * b)
+        engine._service_time_s[b] = time.perf_counter() - t0
+    print(f"service times: { {k: round(v*1e3,1) for k, v in engine._service_time_s.items()} } ms",
+          file=sys.stderr, flush=True)
     engine.start_batcher()
     # Warm THROUGH the micro-batcher too: the tunneled device pays a large
     # one-time stall on the first result pull per process (measured: up to
@@ -155,6 +163,9 @@ def main():
     print("warming through batcher...", file=sys.stderr, flush=True)
     for fut in [engine.submit(warm) for _ in range(max(args.bucket, 4))]:
         fut.result(timeout=300)
+    # Fresh metrics window: warm-phase latencies (compile/AOT-load, the
+    # first-pull stall) must not leak into serving stats.
+    engine.metrics.reset()
     print("measurement window open", file=sys.stderr, flush=True)
     n_blobs = len(blobs)
     latencies = []
