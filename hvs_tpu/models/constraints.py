@@ -41,11 +41,23 @@ def compute_constraints(
                 if sub:
                     out[key] = sub
         if "H_res_raw" in node:
-            out["h_pre"] = jax.nn.sigmoid(node["H_pre_raw"].astype(jnp.float32))
+            h_pre = jax.nn.sigmoid(node["H_pre_raw"].astype(jnp.float32))
+            out["h_pre"] = h_pre
             out["h_post"] = 2.0 * jax.nn.sigmoid(node["H_post_raw"].astype(jnp.float32))
             out["h_res"] = sinkhorn_log(
                 node["H_res_raw"].astype(jnp.float32), n_iters=sk_iters, tau=tau
             )
+            if "mlp_in_kernel" in node:
+                # Serve-time constant folding: (x @ H_pre) @ W1 == x @ (H_pre
+                # @ W1) — both matrices are constants here, so the product is
+                # precomputed and the serve path runs ONE matmul where
+                # training runs two. On the HBM-bound serve program this
+                # removes a full intermediate-activation round trip per mHC
+                # layer (VERDICT r3 item 3; the reference recomputes
+                # everything per call, src/models/manifold_layers.py:223-280).
+                out["w1_folded"] = h_pre @ node["mlp_in_kernel"].astype(
+                    jnp.float32
+                )
         return out
 
     return walk(params)

@@ -147,11 +147,21 @@ class ManifoldHyperConnection(nn.Module):
                 "h_res",
                 lambda: sinkhorn_log(h_res_raw, n_iters=self.sk_iters, tau=self.tau),
             )
+            # Folded H_pre @ W1 (linear-into-linear, see compute_constraints):
+            # the serve chain starts with ONE [D, mlp_hidden] matmul instead
+            # of [D, hidden] then [hidden, mlp_hidden].
+            w1_folded_v = self.variable(
+                "constraints",
+                "w1_folded",
+                lambda: jax.nn.sigmoid(h_pre_raw) @ w1,
+            )
+            w1_folded = w1_folded_v.value.astype(self.dtype)
             h_pre = h_pre_v.value.astype(self.dtype)
             h_post = h_post_v.value.astype(self.dtype)
             h_res32 = h_res_v.value
             h_res = h_res32.astype(self.dtype)
         else:
+            w1_folded = None
             # Constrained matrices (fp32 math, cast to compute dtype for the matmuls).
             h_pre = jax.nn.sigmoid(h_pre_raw).astype(self.dtype)
             h_post = (2.0 * jax.nn.sigmoid(h_post_raw)).astype(self.dtype)
@@ -181,9 +191,14 @@ class ManifoldHyperConnection(nn.Module):
             return out.astype(self.dtype)
 
         y = _layernorm(x_in, ln1_s, ln1_b).astype(self.dtype)
-        y = y @ h_pre
-        # MLP in expanded space (reference: hidden -> 2*hidden -> hidden, GELU).
-        y = (y @ w1.astype(self.dtype)) + b1.astype(self.dtype)
+        if w1_folded is not None:
+            # Serve path: H_pre folded into W1 (one matmul, one fewer
+            # intermediate activation round trip on the HBM-bound program).
+            y = y @ w1_folded + b1.astype(self.dtype)
+        else:
+            y = y @ h_pre
+            # MLP in expanded space (reference: hidden -> 2*hidden -> hidden, GELU).
+            y = (y @ w1.astype(self.dtype)) + b1.astype(self.dtype)
         y = nn.gelu(y)
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
         y = (y @ w2.astype(self.dtype)) + b2.astype(self.dtype)
