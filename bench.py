@@ -38,7 +38,9 @@ def main() -> None:
     # backbone residual stream + head towers W8A8 (+FPN with =2). Throughput
     # does not depend on the scale VALUES, so identity scales suffice here;
     # accuracy of the quantized path is evidenced separately by
-    # scripts/quantize.py (QUANT_r03.json) on the trained checkpoint.
+    # scripts/quantize.py on the trained checkpoint (QUANT_r04.json once
+    # measured on the chip — round 3 ended with the tunnel wedged before the
+    # measurement could run).
     quant_mode = int(os.environ.get("HVS_BENCH_QUANT", "0") or 0)
     model = ProductionHybridVision(
         sk_iters=20,

@@ -31,15 +31,41 @@ Dtype = Any
 
 
 class SegmentationHead(nn.Module):
-    """Upsampling decoder from the small fused scale
-    (reference: src/models/hybrid_vision.py:131-146,327-341)."""
+    """Upsampling decoder with multi-scale context
+    (reference: src/models/hybrid_vision.py:131-146,327-341 — a single-scale
+    stub; here the decoder fuses all three FPN scales).
+
+    Accepts either the fused-features dict (multi-scale context: the medium
+    and large scales are 1x1-projected, bilinearly upsampled to the small
+    scale's grid and concatenated — pixel-level classes that only differ at
+    object scale, e.g. square-vs-rectangle, need receptive field beyond the
+    stride-8 features; MULTITASK_r03.json measured IoU 0.008 on such classes
+    with single-scale input) or a single feature map (reference-parity form).
+    """
 
     num_classes: int = 21
+    context_channels: int = 128
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feat: jax.Array) -> jax.Array:
-        x = feat.astype(self.dtype)
+    def __call__(self, feat) -> jax.Array:
+        if isinstance(feat, dict):
+            small = feat["fused_small"].astype(self.dtype)
+            b, h, w, _ = small.shape
+            parts = [small]
+            for name in ("fused_medium", "fused_large"):
+                ctx = nn.Conv(
+                    self.context_channels, (1, 1), dtype=self.dtype,
+                    name=f"ctx_{name}",
+                )(feat[name].astype(self.dtype))
+                parts.append(
+                    jax.image.resize(
+                        ctx, (b, h, w, self.context_channels), method="bilinear"
+                    ).astype(self.dtype)
+                )
+            x = jnp.concatenate(parts, axis=-1)
+        else:
+            x = feat.astype(self.dtype)
         for ch in (128, 64):
             x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), dtype=self.dtype)(x)
             x = group_norm(ch, self.dtype)(x)
@@ -199,7 +225,7 @@ class HybridVisionSystem(nn.Module):
             outputs["segmentation"] = SegmentationHead(
                 num_classes=self.num_classes + 1, dtype=self.dtype,
                 name="segmentation_head",
-            )(fused["fused_small"])
+            )(fused)
 
         if task in ("depth", "multi_task") and self.use_depth:
             outputs["depth"] = DepthHead(dtype=self.dtype, name="depth_head")(

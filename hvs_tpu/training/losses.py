@@ -318,13 +318,35 @@ def multi_task_loss(
             # Nearest-downsample dense labels to the head's output stride.
             fy = labels.shape[1] // logits.shape[1]
             labels = labels[:, ::fy, ::fy][:, : logits.shape[1], : logits.shape[2]]
-        seg = jnp.mean(
-            -jnp.take_along_axis(
-                jax.nn.log_softmax(logits, -1), labels[..., None], axis=-1
-            )
+        k = logits.shape[-1]
+        log_p = jax.nn.log_softmax(logits, -1)
+        ce_map = -jnp.take_along_axis(log_p, labels[..., None], axis=-1)[..., 0]
+        # Class-balanced CE: plain mean-CE lets the background class (>90% of
+        # pixels on detection-style scenes) dominate the gradient — the r3
+        # multitask run left rare classes at IoU 0.008 (MULTITASK_r03.json).
+        # Weight each pixel by the inverse in-batch frequency of its class
+        # (clipped), normalized to a weighted mean.
+        onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)
+        counts = jnp.sum(onehot, axis=(0, 1, 2))
+        weights = jnp.where(
+            counts > 0, labels.size / (k * jnp.maximum(counts, 1.0)), 0.0
         )
+        weights = jnp.clip(weights, 0.05, 20.0)
+        pix_w = weights[labels]
+        seg = jnp.sum(ce_map * pix_w) / jnp.maximum(jnp.sum(pix_w), 1.0)
+        # Soft-Dice over classes present in the batch: directly optimizes the
+        # overlap the mIoU metric measures, immune to class imbalance.
+        p = jnp.exp(log_p)
+        inter = jnp.sum(p * onehot, axis=(0, 1, 2))
+        denom = jnp.sum(p + onehot, axis=(0, 1, 2))
+        present = (counts > 0).astype(jnp.float32)
+        dice = 1.0 - jnp.sum(
+            present * (2.0 * inter + 1.0) / (denom + 1.0)
+        ) / jnp.maximum(jnp.sum(present), 1.0)
+        seg = seg + 0.5 * dice
         total = total + tw["segmentation"] * seg
         metrics["segmentation_loss"] = seg
+        metrics["segmentation_dice_loss"] = dice
     if "depth" in outputs and "depth" in batch:
         # L1 in log-depth (scale-robust; softplus head output is positive).
         pred = outputs["depth"].astype(jnp.float32)[..., 0]

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Int8 PTQ: calibrate, evaluate float-vs-int8 accuracy, measure speedup.
 
-Produces the round-3 quantization evidence (QUANT_r03.json) and the sidecar
+Produces the quantization evidence artifact (QUANT_r04.json) and the sidecar
 scales file consumed by the engine (ModelConfig.quantization.scales_path).
 Rationale: the serve program is HBM-bandwidth-bound at ~the v5e 819 GB/s peak
 (artifacts/ROOFLINE_r03.json) with backbone+head = 76% of bytes
@@ -11,7 +11,7 @@ TensorRT and were never implemented — src/inference/engine.py:162-193.)
 
 Usage:
     python scripts/quantize.py --checkpoint runs/r3/checkpoints/best \
-        --data-root data/shapes640 --output QUANT_r03.json \
+        --data-root data/shapes640 --output QUANT_r04.json \
         --scales-out runs/r3/checkpoints/quant_scales.msgpack
 """
 
@@ -171,7 +171,7 @@ def main():
     p.add_argument("--eval-fpn", action="store_true",
                    help="also evaluate the int8+FPN variant (quantize_fpn)")
     p.add_argument("--scales-out", default="runs/r3/checkpoints/quant_scales.msgpack")
-    p.add_argument("--output", default="QUANT_r03.json")
+    p.add_argument("--output", default="QUANT_r04.json")
     args = p.parse_args()
 
     if not args.checkpoint and not args.random_init:

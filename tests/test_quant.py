@@ -129,4 +129,4 @@ def test_param_tree_identical_and_outputs_close(tiny_backbone_setup):
         rel = np.abs(f - q).mean() / denom
         assert rel < 0.35, (key, rel)  # int8 through 4 stages of a RANDOM
         # (untrained, unsmoothed) net; trained-model closeness is asserted by
-        # the on-chip eval artifact (QUANT_r03.json), not this unit bound.
+        # the on-chip eval artifact (QUANT_r04.json), not this unit bound.
