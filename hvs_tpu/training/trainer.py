@@ -382,6 +382,11 @@ class ManifoldConstrainedTrainer:
                 if self.config.ema_decay > 0.0 else None
             ),
         )
+        # Strong-typed step: flax's create() seeds step with a python-int 0
+        # that becomes a WEAK-typed int32 under jit, while orbax restores it
+        # strong — the aval mismatch silently retraced the whole train step
+        # once per resume (measured 15 s even on the tiny CI config).
+        state = state.replace(step=jnp.zeros((), jnp.int32))
         # Replicate state over the mesh.
         state = jax.device_put(state, replicated(self.mesh))
         self.state = state
@@ -718,6 +723,22 @@ class ManifoldConstrainedTrainer:
             template["ema_params"] = self.state.ema_params
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(path, item=template)
+        # Re-put restored arrays to the LIVE state's shardings. Orbax restores
+        # with sharding info read from the checkpoint files; if that differs
+        # from the current mesh placement (different topology, or the
+        # file-derived default), the next train_step would silently compile a
+        # SECOND program specialized to the restored shardings (measured:
+        # +37 s on the tiny CI config; doubles HBM held by params on a real
+        # resume). Same trap the engine guards against for serving
+        # (engine.load_checkpoint).
+        import jax
+
+        restored = jax.tree_util.tree_map(
+            lambda live, res: jax.device_put(res, live.sharding)
+            if hasattr(live, "sharding") else res,
+            template,
+            {k: restored.get(k, template[k]) for k in template},
+        )
         self.state = self.state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],

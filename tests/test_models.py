@@ -275,9 +275,16 @@ TINY_MODEL = dict(
 
 @pytest.fixture(scope="module")
 def tiny_model_and_vars():
+    import functools
+
     model = HybridVisionSystem(**TINY_MODEL)
     x = jnp.zeros((1, 64, 64, 3))
-    v = model.init(jax.random.PRNGKey(0), x, task="detection")
+    # jitted init: the eager path dispatches thousands of tiny per-op
+    # compiles (67 s of the r3 cold lane); one compiled graph also hits the
+    # persistent test compile cache across runs.
+    v = jax.jit(functools.partial(model.init, task="detection"))(
+        jax.random.PRNGKey(0), x
+    )
     return model, v
 
 
@@ -322,7 +329,10 @@ def test_serialization_roundtrip(tiny_model_and_vars, tmp_path):
 def test_classification_task(tiny_model_and_vars):
     model, _ = tiny_model_and_vars
     x = jnp.zeros((1, 64, 64, 3))
-    v = model.init(jax.random.PRNGKey(0), x, task="classification")
+    import functools
+    v = jax.jit(functools.partial(model.init, task="classification"))(
+        jax.random.PRNGKey(0), x
+    )
     out = model.apply(v, x, task="classification")
     assert out["classification"].shape == (1, 4)
 
@@ -330,7 +340,10 @@ def test_classification_task(tiny_model_and_vars):
 def test_stability_metrics_aggregation():
     model = HybridVisionSystem(**{**TINY_MODEL, "monitor": True})
     x = jnp.zeros((1, 64, 64, 3))
-    v = model.init(jax.random.PRNGKey(0), x, task="detection")
+    import functools
+    v = jax.jit(functools.partial(model.init, task="detection"))(
+        jax.random.PRNGKey(0), x
+    )
     _, coll = model.apply(v, x, task="detection", mutable=["stability"])
     s = collect_stability_metrics(coll["stability"])
     assert s["num_layers"] > 5
@@ -361,7 +374,10 @@ def test_rag_gate_identity_at_init():
     which measured -0.32 mAP@0.5 at matched budget (RAG_EVAL_r03.json)."""
     model = HybridVisionSystem(**TINY_MODEL, use_rag=True)
     x = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 64, 3))
-    v = model.init(jax.random.PRNGKey(0), x, task="detection")
+    import functools
+    v = jax.jit(functools.partial(model.init, task="detection"))(
+        jax.random.PRNGKey(0), x
+    )
     assert v["params"]["rag_gate"].shape == ()
     assert float(v["params"]["rag_gate"]) == 0.0
 
@@ -398,7 +414,10 @@ def test_precomputed_constraints_parity():
     train_model = HybridVisionSystem(**kw)
     serve_model = HybridVisionSystem(**kw, precomputed_constraints=True)
     x = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 3))
-    v = train_model.init(jax.random.PRNGKey(0), x, task="detection")
+    import functools
+    v = jax.jit(functools.partial(train_model.init, task="detection"))(
+        jax.random.PRNGKey(0), x
+    )
     out_train = train_model.apply(v, x, task="detection")["detection"]["boxes"]
     constraints = compute_constraints(v["params"], sk_iters=TINY_MODEL["sk_iters"])
     out_serve = serve_model.apply(
