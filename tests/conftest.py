@@ -101,3 +101,19 @@ def create_test_detections(n=5, image_size=64, seed=0):
     scores = r.uniform(0.3, 1.0, n).astype(np.float32)
     classes = r.integers(0, 80, n).astype(np.int32)
     return boxes, scores, classes
+
+
+@pytest.fixture(scope="session")
+def shared_engine():
+    """ONE tiny InferenceEngine for every module that serves through it
+    (test_inference, test_deployment): engine build + warmup dominated the
+    cold lane at ~60 s per module. Tests that MUTATE engine state must
+    restore it (reload back, stop_batcher) — hot-swap tests keep their own
+    engine."""
+    from tests.test_inference import tiny_inference_config, tiny_model_config
+
+    from hvs_tpu.inference import InferenceEngine
+
+    e = InferenceEngine(tiny_model_config(), tiny_inference_config())
+    e.warmup()
+    return e

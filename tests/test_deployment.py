@@ -26,12 +26,8 @@ from tests.test_inference import tiny_inference_config, tiny_model_config
 
 
 @pytest.fixture(scope="module")
-def engine():
-    from hvs_tpu.inference import InferenceEngine
-
-    e = InferenceEngine(tiny_model_config(), tiny_inference_config())
-    e.warmup()
-    return e
+def engine(shared_engine):
+    return shared_engine
 
 
 def _jpeg_bytes(seed=0, h=64, w=64) -> bytes:

@@ -51,10 +51,8 @@ def tiny_inference_config() -> InferenceConfig:
 
 
 @pytest.fixture(scope="module")
-def engine():
-    e = InferenceEngine(tiny_model_config(), tiny_inference_config())
-    e.warmup()
-    return e
+def engine(shared_engine):
+    return shared_engine
 
 
 def _image(seed=0, h=80, w=100):
