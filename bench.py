@@ -46,6 +46,7 @@ def main() -> None:
         sk_iters=20,
         act_quant=quant_mode >= 1,
         act_quant_fpn=quant_mode >= 2,
+        act_quant_mhc=quant_mode >= 3,  # backbone mHC matmul chains int8
     )
     rng = jax.random.PRNGKey(0)
     init_images = jnp.zeros((1, 640, 640, 3), jnp.float32)

@@ -117,6 +117,9 @@ class QuantizationConfig:
     # Extend int8 to the FPN laterals/refines/projections (a further ~11% of
     # serve bytes). Separate knob so its accuracy cost is measurable alone.
     quantize_fpn: bool = False
+    # Extend int8 to the backbone channel-mHC matmul chains (the largest
+    # remaining bf16 activation streams after the convs). Separate knob.
+    quantize_mhc: bool = False
 
 
 @dataclass
@@ -227,5 +230,10 @@ class ModelConfig(BaseConfig):
                 production
                 and self.quantization.enabled
                 and self.quantization.quantize_fpn
+            ),
+            act_quant_mhc=(
+                production
+                and self.quantization.enabled
+                and self.quantization.quantize_mhc
             ),
         )

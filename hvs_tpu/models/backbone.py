@@ -89,6 +89,7 @@ class ConvMHCBlock(nn.Module):
     precomputed_constraints: bool = False
     use_pallas: bool = False
     act_quant: bool = False
+    act_quant_mhc: bool = False
     quant_calib: bool = False
 
     @nn.compact
@@ -142,6 +143,8 @@ class ConvMHCBlock(nn.Module):
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
                 use_pallas=self.use_pallas,
+                act_quant=self.act_quant_mhc,
+                quant_calib=self.quant_calib,
                 name="mhc",
             )(y, deterministic)
         if self.quant_calib:
@@ -197,6 +200,7 @@ class HybridVisionBackbone(nn.Module):
     precomputed_constraints: bool = False
     use_pallas: bool = False
     act_quant: bool = False
+    act_quant_mhc: bool = False
     quant_calib: bool = False
 
     @nn.compact
@@ -246,6 +250,7 @@ class HybridVisionBackbone(nn.Module):
                     precomputed_constraints=self.precomputed_constraints,
                     use_pallas=self.use_pallas,
                     act_quant=self.act_quant,
+                    act_quant_mhc=self.act_quant_mhc,
                     quant_calib=self.quant_calib,
                     name=f"stage{stage_idx + 1}_block{block_idx}",
                 )(x, deterministic)

@@ -124,6 +124,9 @@ class HybridVisionSystem(nn.Module):
     # the FPN laterals/refines/projections (a further ~11% of serve bytes).
     act_quant: bool = False
     act_quant_fpn: bool = False
+    # int8 for the backbone's channel-mHC matmul chains (separate knob so its
+    # accuracy cost is measurable alone; hvs_tpu/models/layers.py).
+    act_quant_mhc: bool = False
     quant_calib: bool = False
 
     @nn.compact
@@ -145,6 +148,7 @@ class HybridVisionSystem(nn.Module):
             precomputed_constraints=self.precomputed_constraints,
             use_pallas=self.use_pallas,
             act_quant=self.act_quant,
+            act_quant_mhc=self.act_quant_mhc,
             quant_calib=self.quant_calib,
             name="backbone",
         )(images, deterministic)

@@ -109,6 +109,13 @@ class ManifoldHyperConnection(nn.Module):
     monitor_eigs: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    # int8 serving for the mHC matmul chain (W8A8, hvs_tpu/ops/quant.py):
+    # activations cross HBM as int8 between the chain's matmuls, halving the
+    # layer's dominant traffic on the bandwidth-bound serve program. Serving-
+    # only (requires precomputed_constraints); quant_calib sows per-site
+    # max-abs ranges on the float path for scripts/quantize.py.
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -174,6 +181,7 @@ class ManifoldHyperConnection(nn.Module):
             self.use_pallas
             and self.precomputed_constraints
             and deterministic
+            and not self.act_quant
             and self.expansion_rate == 1
             and self.mlp_ratio == 1
             and d % 128 == 0
@@ -190,8 +198,31 @@ class ManifoldHyperConnection(nn.Module):
             ).reshape(x_in.shape)
             return out.astype(self.dtype)
 
+        # int8 serving path: per-site calibrated scales from the 'quant'
+        # collection; activations quantize to int8 BETWEEN the chain's
+        # matmuls (quantize fuses into the producer's epilogue, so the
+        # intermediates cross HBM at 1 byte/elt instead of 2).
+        int8_chain = self.act_quant and w1_folded is not None and deterministic
+        if self.quant_calib:
+            from ..ops.quant import calib_maxabs
+        if int8_chain:
+            from ..ops.quant import matmul_int8, quantize_tensor
+
+            ones = lambda: jnp.ones((), jnp.float32)  # noqa: E731
+            y1_s = self.variable("quant", "y1_scale", ones).value
+            a1_s = self.variable("quant", "a1_scale", ones).value
+            a2_s = self.variable("quant", "a2_scale", ones).value
+            x_s = self.variable("quant", "x_scale", ones).value
+
         y = _layernorm(x_in, ln1_s, ln1_b).astype(self.dtype)
-        if w1_folded is not None:
+        if self.quant_calib:
+            self.sow("quant_stats", "y1_scale", calib_maxabs(y))
+        if int8_chain:
+            y = matmul_int8(
+                quantize_tensor(y, y1_s), w1_folded_v.value, y1_s,
+                out_dtype=self.dtype,
+            ) + b1.astype(self.dtype)
+        elif w1_folded is not None:
             # Serve path: H_pre folded into W1 (one matmul, one fewer
             # intermediate activation round trip on the HBM-bound program).
             y = y @ w1_folded + b1.astype(self.dtype)
@@ -201,12 +232,32 @@ class ManifoldHyperConnection(nn.Module):
             y = (y @ w1.astype(self.dtype)) + b1.astype(self.dtype)
         y = nn.gelu(y)
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
-        y = (y @ w2.astype(self.dtype)) + b2.astype(self.dtype)
+        if self.quant_calib:
+            self.sow("quant_stats", "a1_scale", calib_maxabs(y))
+        if int8_chain:
+            y = matmul_int8(
+                quantize_tensor(y, a1_s), w2, a1_s, out_dtype=self.dtype
+            ) + b2.astype(self.dtype)
+        else:
+            y = (y @ w2.astype(self.dtype)) + b2.astype(self.dtype)
         y = nn.gelu(y)
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
-        y = y @ h_post
+        if self.quant_calib:
+            self.sow("quant_stats", "a2_scale", calib_maxabs(y))
+            self.sow("quant_stats", "x_scale", calib_maxabs(x_in))
+        if int8_chain:
+            y = matmul_int8(
+                quantize_tensor(y, a2_s), h_post_v.value, a2_s,
+                out_dtype=self.dtype,
+            )
+            res = matmul_int8(
+                quantize_tensor(x_in, x_s), h_res32, x_s, out_dtype=self.dtype
+            )
+        else:
+            y = y @ h_post
+            res = x_in @ h_res
 
-        out = x_in @ h_res + y
+        out = res + y
         out = _layernorm(out, ln2_s, ln2_b).astype(self.dtype)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
 

@@ -47,7 +47,8 @@ def calibrate_quant_scales(
         {**variables, 'quant': scales}, ...)`` serves int8.
     """
     calib_model = model.clone(
-        act_quant=False, act_quant_fpn=False, quant_calib=True
+        act_quant=False, act_quant_fpn=False, act_quant_mhc=False,
+        quant_calib=True,
     )
     # Drop any 'quant' collection riding along (e.g. identity scales from an
     # act_quant model's init): the float calib model must not require it.

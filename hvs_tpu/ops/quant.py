@@ -116,6 +116,37 @@ def conv_int8(
     return (acc.astype(jnp.float32) * rescale).astype(out_dtype)
 
 
+def matmul_int8(
+    x_q: jax.Array,
+    w: jax.Array,
+    act_scale: jax.Array,
+    *,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """int8-activation x fp-weight matmul with int32 MXU accumulation.
+
+    Dense analog of :func:`conv_int8` for the mHC matmul chain: ``x_q`` is the
+    int8 activation ([..., K], quantized with per-tensor ``act_scale``), ``w``
+    the ORIGINAL float [K, N] matrix (checkpoint weight or a precomputed
+    constraint such as ``w1_folded``/``h_post``/``h_res``) — per-output-column
+    weight quantization happens here, so callers never manage a second weight
+    tree. Output is dequantized ``out_dtype``.
+    """
+    w32 = w.astype(jnp.float32)
+    w_scale = jnp.max(jnp.abs(w32), axis=0)
+    w_scale = jnp.where(w_scale > 0, w_scale, 1.0)
+    w_q = jnp.clip(jnp.round(w32 * (INT8_MAX / w_scale)), -INT8_MAX, INT8_MAX
+                   ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_q,
+        (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    a_s = jnp.maximum(act_scale.astype(jnp.float32), 1e-8)
+    rescale = (a_s / INT8_MAX) * (w_scale / INT8_MAX)  # [N]
+    return (acc.astype(jnp.float32) * rescale).astype(out_dtype)
+
+
 def quantization_error(x: jax.Array, scale: jax.Array) -> jax.Array:
     """Mean |x - dequant(quant(x))| — diagnostic for calibration quality."""
     q = quantize_tensor(x, scale)

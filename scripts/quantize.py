@@ -28,7 +28,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_engine(args, resolution: int, quantized: bool, fpn: bool = False):
+def make_engine(args, resolution: int, quantized: bool, fpn: bool = False,
+                mhc: bool = False):
     from hvs_tpu.config import InferenceConfig, ModelConfig
     from hvs_tpu.inference import InferenceEngine
 
@@ -51,6 +52,7 @@ def make_engine(args, resolution: int, quantized: bool, fpn: bool = False):
         mcfg.quantization.enabled = True
         mcfg.quantization.scales_path = args.scales_out
         mcfg.quantization.quantize_fpn = fpn
+        mcfg.quantization.quantize_mhc = mhc
     icfg = InferenceConfig()
     icfg.preprocessing.image_size = resolution
     icfg.postprocessing.score_threshold = 0.05
@@ -170,6 +172,8 @@ def main():
     p.add_argument("--no-ema", action="store_true")
     p.add_argument("--eval-fpn", action="store_true",
                    help="also evaluate the int8+FPN variant (quantize_fpn)")
+    p.add_argument("--eval-mhc", action="store_true",
+                   help="also evaluate the int8+mHC-chain variant (quantize_mhc)")
     p.add_argument("--scales-out", default="runs/r3/checkpoints/quant_scales.msgpack")
     p.add_argument("--output", default="QUANT_r04.json")
     args = p.parse_args()
@@ -217,9 +221,15 @@ def main():
         acc_f = evaluate(fe, class_names, ims, g)
         fps_f = measure_fps(fe, res, args.bench_batch)
         entry = {"float": {**acc_f, **fps_f}}
-        variants = [("int8", False)] + ([("int8_fpn", True)] if args.eval_fpn else [])
-        for label, fpn in variants:
-            qe = make_engine(args, res, quantized=True, fpn=fpn)
+        variants = [("int8", False, False)]
+        if args.eval_fpn:
+            variants.append(("int8_fpn", True, False))
+        if args.eval_mhc:
+            variants.append(("int8_mhc", False, True))
+        if args.eval_fpn and args.eval_mhc:
+            variants.append(("int8_fpn_mhc", True, True))
+        for label, fpn, mhc in variants:
+            qe = make_engine(args, res, quantized=True, fpn=fpn, mhc=mhc)
             acc_q = evaluate(qe, class_names, ims, g)
             fps_q = measure_fps(qe, res, args.bench_batch)
             entry[label] = {

@@ -114,9 +114,11 @@ def test_param_tree_identical_and_outputs_close(tiny_backbone_setup):
         lambda vv, im: calib_bb.apply(vv, im, mutable=["quant_stats"])
     )(v, imgs)
     scales = build_quant_collection(mut["quant_stats"])
-    # every quant variable the int8 model declares is calibrated
-    assert set(traverse_util.flatten_dict(scales)) == set(
-        traverse_util.flatten_dict(vq["quant"])
+    # every quant variable the int8 model declares is calibrated (calibration
+    # sows a SUPERSET — it includes sites for knobs this model has off, e.g.
+    # the mHC-chain scales behind act_quant_mhc)
+    assert set(traverse_util.flatten_dict(vq["quant"])) <= set(
+        traverse_util.flatten_dict(scales)
     )
 
     out_f = jax.jit(float_bb.apply)(v, imgs)
@@ -130,3 +132,87 @@ def test_param_tree_identical_and_outputs_close(tiny_backbone_setup):
         assert rel < 0.35, (key, rel)  # int8 through 4 stages of a RANDOM
         # (untrained, unsmoothed) net; trained-model closeness is asserted by
         # the on-chip eval artifact (QUANT_r04.json), not this unit bound.
+
+
+def test_matmul_int8_matches_float_matmul():
+    from hvs_tpu.ops import matmul_int8
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((32, 24)).astype(np.float32)
+    w = rng.standard_normal((24, 48)).astype(np.float32)
+    scale = jnp.asarray(np.abs(x).max(), jnp.float32)
+    x_q = quantize_tensor(jnp.asarray(x), scale)
+    out = np.asarray(matmul_int8(x_q, jnp.asarray(w), scale,
+                                 out_dtype=jnp.float32))
+    ref = x @ w
+    rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-6)
+    assert rel < 0.02, rel
+
+
+def test_matmul_int8_batched_leading_dims():
+    from hvs_tpu.ops import matmul_int8
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    w = rng.standard_normal((16, 16)).astype(np.float32)
+    scale = jnp.asarray(np.abs(x).max(), jnp.float32)
+    out = matmul_int8(quantize_tensor(jnp.asarray(x), scale), jnp.asarray(w),
+                      scale, out_dtype=jnp.float32)
+    assert out.shape == (2, 5, 16)
+    rel = np.abs(np.asarray(out) - x @ w).mean() / (np.abs(x @ w).mean() + 1e-6)
+    assert rel < 0.03, rel
+
+
+@pytest.mark.slow
+def test_mhc_int8_chain_calibrated_close_to_float():
+    """act_quant_mhc: the mHC matmul chain serves int8 with calibrated scales
+    and stays close to the float serve path (precomputed constraints)."""
+    from hvs_tpu.models import compute_constraints
+    from hvs_tpu.models.layers import ManifoldHyperConnection
+
+    kw = dict(dim=32, expansion_rate=1, mlp_ratio=1, sk_iters=5,
+              dropout_rate=0.0, dtype=jnp.float32)
+    float_layer = ManifoldHyperConnection(**kw, precomputed_constraints=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+    v = float_layer.init(jax.random.PRNGKey(1), x)
+    cons = compute_constraints(v["params"], sk_iters=5)
+
+    # Calibrate: float path with quant_calib sows the 4 chain sites.
+    calib_layer = ManifoldHyperConnection(**kw, quant_calib=True)
+    _, mut = calib_layer.apply(v, x, mutable=["quant_stats"])
+    scales = build_quant_collection(mut["quant_stats"])
+    assert set(scales) == {"y1_scale", "a1_scale", "a2_scale", "x_scale"}
+
+    q_layer = ManifoldHyperConnection(**kw, precomputed_constraints=True,
+                                      act_quant=True)
+    out_f = float_layer.apply({"params": v["params"], "constraints": cons}, x)
+    out_q = q_layer.apply(
+        {"params": v["params"], "constraints": cons, "quant": scales}, x
+    )
+    f = np.asarray(out_f, np.float32)
+    q = np.asarray(out_q, np.float32)
+    assert np.isfinite(q).all()
+    rel = np.abs(f - q).mean() / (np.abs(f).mean() + 1e-6)
+    # RANDOM-init layer: 4 chained int8 matmuls on unsmoothed activations is
+    # the worst case; trained-model closeness is what QUANT_r04.json measures.
+    assert rel < 0.15, rel
+
+
+@pytest.mark.slow
+def test_mhc_int8_noop_without_precomputed_constraints():
+    """act_quant on a training-path (non-precomputed) layer must be a no-op:
+    no quant variables declared, float output unchanged."""
+    from hvs_tpu.models.layers import ManifoldHyperConnection
+
+    kw = dict(dim=16, expansion_rate=1, mlp_ratio=1, sk_iters=5,
+              dropout_rate=0.0, dtype=jnp.float32)
+    base = ManifoldHyperConnection(**kw)
+    quant = ManifoldHyperConnection(**kw, act_quant=True)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 16))
+    v = base.init(jax.random.PRNGKey(3), x)
+    vq = quant.init(jax.random.PRNGKey(3), x)
+    assert "quant" not in vq
+    np.testing.assert_allclose(
+        np.asarray(base.apply(v, x)), np.asarray(quant.apply(v, x)),
+        rtol=1e-6, atol=1e-6,
+    )
