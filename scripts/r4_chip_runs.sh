@@ -29,7 +29,7 @@ HVS_BENCH_QUANT=3 run bench_quant3 1800 python bench.py
 
 # 3. Int8 PTQ accuracy on the trained checkpoint -> QUANT_r04.json + scales.
 run quantize 5400 python scripts/quantize.py \
-  --checkpoint runs/r3/checkpoints/best_50k --eval-fpn --eval-mhc \
+  --checkpoint runs/r3/checkpoints/best --eval-fpn --eval-mhc \
   --data-root data/shapes640 --output QUANT_r04.json \
   --scales-out runs/r3/checkpoints/quant_scales.msgpack
 
@@ -40,7 +40,7 @@ run roofline 2400 python scripts/roofline.py --output artifacts/ROOFLINE_r04.jso
 # 5. Accuracy at 640 with the folded serve path (mAP delta vs ACCURACY_r03)
 #    + resolution sweep on the r3 checkpoint (VERDICT stretch item).
 run accuracy 5400 python scripts/accuracy_sweep.py \
-  --checkpoint runs/r3/checkpoints/best_50k --data-root data/shapes640 \
+  --checkpoint runs/r3/checkpoints/best --data-root data/shapes640 \
   --resolutions 320,416,512,640 --output ACCURACY_r04.json
 
 # 6. Serving SLA runs -> SERVE_SUSTAINED_r04.json material.

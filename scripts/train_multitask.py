@@ -35,7 +35,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--max-boxes", type=int, default=16)
-    p.add_argument("--output", default="MULTITASK_r03.json")
+    p.add_argument("--output", default="MULTITASK_r04.json")
+    p.add_argument("--tiny", action="store_true",
+                   help="flow-validation mode: tiny model/data (CPU-sized)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -43,6 +45,10 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+
+    if args.tiny:
+        # Flow-validation runs on CPU; never touch (or hang on) the real chip.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -84,6 +90,17 @@ def main():
     mcfg.detection.num_classes = 8
     mcfg.use_segmentation = True
     mcfg.use_depth = True
+    if args.tiny:
+        mcfg.backbone.base_channels = 8
+        mcfg.backbone.stage_channels = (16, 24, 32, 40)
+        mcfg.backbone.stage_blocks = (1, 1, 1, 1)
+        mcfg.vit.dim = 16
+        mcfg.vit.depth = 1
+        mcfg.vit.num_heads = 2
+        mcfg.fusion.fpn_channels = 16
+        mcfg.fusion.out_channels = (16, 24, 32)
+        mcfg.detection.head_channels = 16
+        mcfg.mhc.sinkhorn_iterations = 3
     model = mcfg.build_model(monitor=False)
 
     cfg = TrainerConfig(num_classes=8, warmup_steps=200, total_steps=args.steps)
