@@ -183,6 +183,9 @@ def main():
 
     from flax import serialization
 
+    if args.tiny:
+        # Flow-validation runs on CPU; never touch (or hang on) the real chip.
+        __import__("jax").config.update("jax_platforms", "cpu")
     from hvs_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
