@@ -78,6 +78,25 @@ def evaluate_at(resolution: int, args) -> dict:
         for c, v in sorted(acc.get("per_class_AP@0.5", {}).items())
     }
     result["eval_seconds"] = round(time.time() - t0, 1)
+    # Device throughput at this resolution (same pipelined methodology as
+    # bench.py) so accuracy and FPS come from the same weights in ONE artifact
+    # (reference analog: the accuracy-vs-resolution table, PROJECT.md:964-969,
+    # pairs mAP with FPS per input size).
+    import jax
+    import jax.numpy as jnp
+
+    batch = 16
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (batch, resolution, resolution, 3), np.uint8))
+    fn = engine._serve_fn(batch)
+    jax.block_until_ready(fn(engine.variables, imgs))
+    t0 = time.perf_counter()
+    iters = 20
+    outs = [fn(engine.variables, imgs) for _ in range(iters)]
+    jax.block_until_ready(outs[-1])
+    dt = (time.perf_counter() - t0) / iters
+    result["fps_per_chip_batch16"] = round(batch / dt, 1)
+    result["batch16_ms"] = round(dt * 1e3, 3)
     print(f"  {resolution}: mAP@0.5={result.get('mAP@0.5')} "
           f"small={result.get('AP@0.5_small')} ({result['eval_seconds']}s)",
           flush=True)
