@@ -10,6 +10,17 @@ cd "$(dirname "$0")/.."
 mkdir -p artifacts/r4_logs
 L=artifacts/r4_logs
 
+# A CPU-heavy job on this 1-core host starves TPU dispatch and craters
+# timing runs 20x — stop any known background CPU jobs first (by pidfile,
+# never by pattern).
+for pf in /tmp/mt.pid /tmp/q.pid /tmp/drive.pid; do
+  if [ -f "$pf" ] && kill -0 "$(cat "$pf")" 2>/dev/null; then
+    kill "$(cat "$pf")" 2>/dev/null
+    echo "stopped CPU job $(cat "$pf") ($pf)" | tee -a $L/runsheet.log
+  fi
+done
+sleep 5
+
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a $L/runsheet.log
