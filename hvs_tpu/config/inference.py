@@ -90,6 +90,10 @@ class PerformanceConfig:
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
     max_queue_delay_ms: float = 10.0
     warmup_iterations: int = 3
+    # Camera/source shapes (h, w) whose raw-frame on-device-letterbox
+    # programs compile at warmup; unregistered shapes serve via host
+    # letterbox (engine.register_raw_shape).
+    warmup_raw_shapes: Tuple[Tuple[int, int], ...] = ()
     latency_target_ms: float = 50.0
     # Queueing-delay budget for admission-queue sizing (micro-batcher depth =
     # budget / measured per-item service time); 0 -> use latency_target_ms.

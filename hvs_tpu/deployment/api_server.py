@@ -139,9 +139,13 @@ class VisionAPIServer:
             self.registry = None
 
     async def _on_startup(self, app):
-        """Warmup on startup (reference :675-697)."""
+        """Warmup on startup (reference :675-697): every letterboxed bucket
+        plus the raw-frame programs for any configured camera shapes."""
         loop = asyncio.get_event_loop()
-        await loop.run_in_executor(self.executor, self.engine.warmup)
+        shapes = self.engine.config.performance.warmup_raw_shapes
+        await loop.run_in_executor(
+            self.executor, lambda: self.engine.warmup(src_shapes=shapes)
+        )
 
     # ---------------- image extraction (reference :582-614) ----------------
     async def _get_image(self, request) -> Optional[np.ndarray]:

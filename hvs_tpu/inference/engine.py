@@ -214,6 +214,12 @@ class InferenceEngine:
         # Per-bucket steady-state service time (seconds/batch), measured by
         # warmup(); sizes the micro-batcher's admission queue.
         self._service_time_s: Dict[int, float] = {}
+        # Source shapes whose raw-frame (on-device letterbox) programs are
+        # compiled. The raw path is ONLY taken for these: an arbitrary new
+        # client image shape must never trigger a flagship trace (~400 s on
+        # this host) inside a request — unregistered shapes fall back to the
+        # host letterbox + the always-warmed letterboxed programs.
+        self._raw_shapes: set = set()
 
     # ------------------------------------------------------------------
     def _prepare_variables(self, variables: Dict[str, Any]) -> Dict[str, Any]:
@@ -561,14 +567,32 @@ class InferenceEngine:
                 r = fn(self.variables, xd)
             jax.block_until_ready(r)
             timings[b] = (time.perf_counter() - t0) / iters
-            for hw in src_shapes:
-                h, w = int(hw[0]), int(hw[1])
-                xr = jax.device_put(np.zeros((b, h, w, 3), np.uint8))
-                jax.block_until_ready(xr)
-                rr = self._serve_fn_raw(b, (h, w))(self.variables, xr)
-                jax.block_until_ready(rr)
+        for hw in src_shapes:
+            self.register_raw_shape((int(hw[0]), int(hw[1])))
         self._service_time_s = timings
         return timings
+
+    def register_raw_shape(
+        self, src_hw: Tuple[int, int], buckets: Optional[Sequence[int]] = None
+    ) -> None:
+        """Compile + pre-execute the raw-frame programs for one source shape
+        and admit it to the raw fast path (on-device letterbox).
+
+        Camera sources have fixed shapes, so production calls this once per
+        stream at startup; anything not registered serves via host letterbox
+        so arbitrary request shapes can never trace inside a request.
+        """
+        import jax
+
+        src_hw = (int(src_hw[0]), int(src_hw[1]))
+        for b in buckets or self.config.performance.batch_buckets:
+            xr = jax.device_put(
+                np.zeros((b, src_hw[0], src_hw[1], 3), np.uint8)
+            )
+            jax.block_until_ready(xr)
+            rr = self._serve_fn_raw(b, src_hw)(self.variables, xr)
+            jax.block_until_ready(rr)
+        self._raw_shapes.add(src_hw)
 
     # ------------------------------------------------------------------
     def _preprocess(self, image: np.ndarray) -> Tuple[np.ndarray, float, Tuple[int, int]]:
@@ -670,6 +694,9 @@ class InferenceEngine:
             and images[0].ndim == 3
             and images[0].shape[2] == 3
             and images[0].dtype == np.uint8
+            # Raw path only for registered shapes: an unseen shape must never
+            # trace a new program inside a request (register_raw_shape).
+            and tuple(images[0].shape[:2]) in self._raw_shapes
         )
         if raw_ok:
             # Uniform-shape fast path: ship RAW frames, letterbox on device.

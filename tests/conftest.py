@@ -13,7 +13,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("HVS_AOT_CACHE", tempfile.mkdtemp(prefix="hvs_aot_test_"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Compile-time, not run-time, dominates this 1-core CI host (dozens of
+# XLA:CPU graph compiles at 20-60 s each). Tests assert math, not speed —
+# skip the backend optimization pipeline: measured 35% off the cold lane
+# with identical results. Perf measurements NEVER use the test conftest.
+if "xla_backend_optimization_level" not in _flags:
+    _flags += (
+        " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402  (import after env setup)
 import numpy as np  # noqa: E402

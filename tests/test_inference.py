@@ -100,6 +100,38 @@ def test_engine_edge_cases(engine):
         assert det.boxes.shape[-1] == 4 or len(det) == 0
 
 
+def test_engine_unregistered_shape_never_traces_raw_program(engine):
+    """An arbitrary new request shape must serve via host letterbox — never
+    compile a raw-frame program inside the request (a flagship trace costs
+    ~400 s on the serving host)."""
+    before = set(engine._serve_fns)
+    det = engine.infer(_image(9, h=37, w=53))  # odd, unregistered shape
+    assert det.image_size == (37, 53)
+    raw_keys = {k for k in set(engine._serve_fns) - before if isinstance(k, tuple)}
+    assert not raw_keys, f"raw program traced for unregistered shape: {raw_keys}"
+
+
+def test_engine_register_raw_shape_enables_fast_path(engine):
+    engine.register_raw_shape((48, 64))
+    assert (48, 64) in engine._raw_shapes
+    # Programs exist for every bucket.
+    for b in engine.config.performance.batch_buckets:
+        assert (b, (48, 64)) in engine._serve_fns
+    det = engine.infer(_image(10, h=48, w=64))
+    assert det.image_size == (48, 64)
+    # Raw-path and host-letterbox results agree (same geometry, same NMS).
+    img = _image(11, h=48, w=64)
+    d_raw = engine.infer(img)
+    engine._raw_shapes.discard((48, 64))
+    try:
+        d_host = engine.infer(img)
+    finally:
+        engine._raw_shapes.add((48, 64))
+    assert len(d_raw) == len(d_host)
+    if len(d_raw):
+        np.testing.assert_allclose(d_raw.boxes, d_host.boxes, atol=1.5)
+
+
 def test_engine_perf_stats(engine):
     engine.infer(_image(5))
     stats = engine.get_performance_stats()

@@ -327,16 +327,22 @@ def test_serialization_roundtrip(tiny_model_and_vars, tmp_path):
 
 
 def test_classification_task(tiny_model_and_vars):
+    """Wiring/shape regression guard via eval_shape — zero compiles (the
+    classification graph is otherwise a one-off full-model XLA compile the
+    default lane pays ~25 s for; numerical execution of the shared layers is
+    covered by the detection tests)."""
     model, _ = tiny_model_and_vars
     x = jnp.zeros((1, 64, 64, 3))
-    import functools
-    v = jax.jit(functools.partial(model.init, task="classification"))(
-        jax.random.PRNGKey(0), x
+    v = jax.eval_shape(
+        lambda k: model.init(k, x, task="classification"), jax.random.PRNGKey(0)
     )
-    out = model.apply(v, x, task="classification")
+    out = jax.eval_shape(
+        lambda vv: model.apply(vv, x, task="classification"), v
+    )
     assert out["classification"].shape == (1, 4)
 
 
+@pytest.mark.heavy
 def test_stability_metrics_aggregation():
     model = HybridVisionSystem(**{**TINY_MODEL, "monitor": True})
     x = jnp.zeros((1, 64, 64, 3))
@@ -366,6 +372,7 @@ def test_full_size_param_budget():
     assert 10e6 < n < 30e6, n
 
 
+@pytest.mark.heavy
 def test_rag_gate_identity_at_init():
     """The RAG blend is a zero-init learnable gate (ReZero-style), so at init
     the retrieval path is an EXACT no-op: perturbing every RAG parameter must
