@@ -144,9 +144,13 @@ def main():
     warm = cv2.imdecode(np.frombuffer(blobs[0], np.uint8), cv2.IMREAD_COLOR)
     if args.host_letterbox:
         warm = letterbox(warm, args.image_size)[0]
+    # Admit the benchmark's frame shape to the raw on-device-letterbox path
+    # (compiles its programs for every bucket); unregistered shapes would
+    # fall back to host letterbox.
+    engine.register_raw_shape(warm.shape[:2])
     for b in icfg.performance.batch_buckets:
         print(f"warming bucket {b}...", file=sys.stderr, flush=True)
-        engine.infer_batch([warm] * b)  # compile / AOT-load
+        engine.infer_batch([warm] * b)  # raw-path execute (already compiled)
         # Steady-state service time per bucket feeds the micro-batcher's
         # latency-budget queue sizing (depth = budget / per-item service).
         # Includes one blocking tunnel RTT — conservative (smaller queue).
