@@ -792,6 +792,11 @@ class InferenceEngine:
             stats.update(
                 {f"batcher_{k}": v for k, v in self._batcher.stats().items()}
             )
+        # Warmup/registration state: which programs are hot (measured bucket
+        # service times) and which source shapes take the raw fast path.
+        for b, t in self._service_time_s.items():
+            stats[f"service_ms_b{b}"] = round(t * 1e3, 3)
+        stats["raw_shapes_registered"] = len(self._raw_shapes)
         return stats
 
     def get_stability_report(self) -> Dict[str, Any]:
