@@ -92,6 +92,9 @@ def load_jpegs(args) -> list:
 
 def main():
     args = parse_args()
+    if args.tiny:
+        # Flow-validation runs on CPU; never touch (or hang on) the real chip.
+        __import__("jax").config.update("jax_platforms", "cpu")
     # Keep enough requests in flight to form full batches at the big bucket.
     args.inflight = max(args.inflight, args.bucket * 3)
 
