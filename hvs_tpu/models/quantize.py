@@ -18,7 +18,11 @@ from typing import Any, Dict, Iterable
 
 import jax
 
-from ..ops.quant import build_quant_collection, merge_max_stats
+from ..ops.quant import (
+    build_quant_collection,
+    merge_max_stats,
+    merge_percentile_stats,
+)
 
 
 def calibrate_quant_scales(
@@ -27,6 +31,7 @@ def calibrate_quant_scales(
     image_batches: Iterable[jax.Array],
     task: str = "detection",
     margin: float = 1.0,
+    percentile: float = 100.0,
 ) -> Dict[str, Any]:
     """Run the FLOAT model over calibration batches, collect activation
     ranges, and return the 'quant' variables collection.
@@ -67,4 +72,9 @@ def calibrate_quant_scales(
     stats = [jax.device_get(collect(float_vars, images)) for images in image_batches]
     if not stats:
         raise ValueError("calibration requires at least one image batch")
-    return build_quant_collection(merge_max_stats(stats), margin=margin)
+    merged = (
+        merge_max_stats(stats)
+        if percentile >= 100.0
+        else merge_percentile_stats(stats, percentile)
+    )
+    return build_quant_collection(merged, margin=margin)

@@ -198,3 +198,23 @@ def merge_max_stats(trees: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
             lambda a, b: jnp.maximum(jnp.asarray(a), jnp.asarray(b)), out, t
         )
     return out
+
+
+def merge_percentile_stats(
+    trees: Sequence[Dict[str, Any]], percentile: float = 99.0
+) -> Dict[str, Any]:
+    """Per-site percentile over the calibration batches' max-abs values.
+
+    Max-over-batches clips nothing but lets ONE outlier activation dilate the
+    whole int8 range (every ordinary value then quantizes coarser). Taking a
+    percentile of the per-batch maxima trades a little saturation on the
+    outlier batch for finer resolution everywhere else — the standard PTQ
+    calibration knob (scripts/quantize.py --calib-percentile)."""
+    if not trees:
+        return {}
+    return jax.tree_util.tree_map(
+        lambda *vals: jnp.percentile(
+            jnp.stack([jnp.asarray(v) for v in vals]), percentile
+        ),
+        *trees,
+    )

@@ -117,6 +117,7 @@ def calibrate(args, engine, images, resolution: int):
         engine.variables,
         batches,
         margin=args.margin,
+        percentile=args.calib_percentile,
     )
     return scales, round(time.time() - t0, 1), len(batches)
 
@@ -167,6 +168,8 @@ def main():
     p.add_argument("--calib-images", type=int, default=64)
     p.add_argument("--calib-batch", type=int, default=8)
     p.add_argument("--margin", type=float, default=1.0)
+    p.add_argument("--calib-percentile", type=float, default=100.0,
+                   help="percentile of per-batch max-abs (100 = exact max)")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--bench-batch", type=int, default=16)
     p.add_argument("--no-ema", action="store_true")

@@ -216,3 +216,17 @@ def test_mhc_int8_noop_without_precomputed_constraints():
         np.asarray(base.apply(v, x)), np.asarray(quant.apply(v, x)),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_merge_percentile_stats_tames_outlier_batch():
+    from hvs_tpu.ops import merge_percentile_stats
+
+    trees = [{"block": {"x_scale": (jnp.asarray(float(v)),)}}
+             for v in [1.0, 1.1, 0.9, 1.05, 50.0]]  # one outlier batch
+    p90 = build_quant_collection(merge_percentile_stats(trees, 90.0))
+    pmax = build_quant_collection(merge_max_stats(trees))
+    assert float(pmax["block"]["x_scale"]) == 50.0
+    assert float(p90["block"]["x_scale"]) < 31.0  # outlier influence tamed
+    # 100th percentile == max
+    p100 = build_quant_collection(merge_percentile_stats(trees, 100.0))
+    assert float(p100["block"]["x_scale"]) == 50.0
