@@ -47,6 +47,7 @@ def main() -> None:
         act_quant=quant_mode >= 1,
         act_quant_fpn=quant_mode >= 2,
         act_quant_mhc=quant_mode >= 3,  # backbone mHC matmul chains int8
+        act_quant_vit=quant_mode >= 4,  # ViT projections + mHC chains int8
     )
     rng = jax.random.PRNGKey(0)
     init_images = jnp.zeros((1, 640, 640, 3), jnp.float32)

@@ -120,6 +120,8 @@ class QuantizationConfig:
     # Extend int8 to the backbone channel-mHC matmul chains (the largest
     # remaining bf16 activation streams after the convs). Separate knob.
     quantize_mhc: bool = False
+    # Extend int8 to the ViT encoder (QKV/out projections + mHC chains).
+    quantize_vit: bool = False
 
 
 @dataclass
@@ -235,5 +237,10 @@ class ModelConfig(BaseConfig):
                 production
                 and self.quantization.enabled
                 and self.quantization.quantize_mhc
+            ),
+            act_quant_vit=(
+                production
+                and self.quantization.enabled
+                and self.quantization.quantize_vit
             ),
         )

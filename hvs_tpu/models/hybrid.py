@@ -127,6 +127,8 @@ class HybridVisionSystem(nn.Module):
     # int8 for the backbone's channel-mHC matmul chains (separate knob so its
     # accuracy cost is measurable alone; hvs_tpu/models/layers.py).
     act_quant_mhc: bool = False
+    # int8 for the ViT encoder's QKV/out projections + its mHC chains.
+    act_quant_vit: bool = False
     quant_calib: bool = False
 
     @nn.compact
@@ -166,6 +168,8 @@ class HybridVisionSystem(nn.Module):
                 monitor=self.monitor,
                 precomputed_constraints=self.precomputed_constraints,
                 use_pallas=self.use_pallas,
+                act_quant=self.act_quant_vit,
+                quant_calib=self.quant_calib,
                 name="vit_encoder",
             )(scales["scale_large"], deterministic)
             scales = dict(scales)

@@ -351,19 +351,61 @@ class MultiHeadManifoldAttention(nn.Module):
         return mhc("mhc_out")(out, deterministic)
 
 
+class QuantDense(nn.Module):
+    """Drop-in int8 replacement for ``nn.Dense``: declares the identical
+    ``kernel``/``bias`` params (same path, init, fp32 dtype) so float
+    checkpoints load unchanged; the call takes the int8-quantized activation
+    + its calibrated scale (hvs_tpu/ops/quant.py). Serving-only."""
+
+    features: int
+    out_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_q: jax.Array, act_scale: jax.Array) -> jax.Array:
+        from ..ops.quant import matmul_int8
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x_q.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        out = matmul_int8(x_q, kernel, act_scale, out_dtype=self.out_dtype)
+        return out + bias.astype(self.out_dtype)
+
+
 class DenseAttention(nn.Module):
-    """Standard multi-head self-attention (dense QKV, bf16 matmuls, fp32 softmax)."""
+    """Standard multi-head self-attention (dense QKV, bf16 matmuls, fp32
+    softmax). ``act_quant`` serves the QKV and output projections as W8A8
+    with calibrated scales (attention math stays bf16/fp32 — softmax is
+    precision-critical and its bytes are a rounding error at <=500 tokens)."""
 
     dim: int
     num_heads: int = 8
     dropout_rate: float = 0.1
     dtype: Dtype = jnp.bfloat16
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         head_dim = self.dim // self.num_heads
         b, t, _ = x.shape
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        if self.quant_calib:
+            from ..ops.quant import calib_maxabs
+
+            self.sow("quant_stats", "qkv_in_scale", calib_maxabs(x))
+        if self.act_quant:
+            from ..ops.quant import quantize_tensor
+
+            ones = lambda: jnp.ones((), jnp.float32)  # noqa: E731
+            qkv_s = self.variable("quant", "qkv_in_scale", ones).value
+            proj_s = self.variable("quant", "proj_in_scale", ones).value
+            qkv = QuantDense(3 * self.dim, out_dtype=self.dtype, name="qkv")(
+                quantize_tensor(x, qkv_s), qkv_s
+            )
+        else:
+            qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, t, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         q = q.transpose(0, 2, 1, 3)
@@ -375,6 +417,16 @@ class DenseAttention(nn.Module):
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        if self.quant_calib:
+            from ..ops.quant import calib_maxabs
+
+            self.sow("quant_stats", "proj_in_scale", calib_maxabs(out))
+        if self.act_quant:
+            from ..ops.quant import quantize_tensor
+
+            return QuantDense(self.dim, out_dtype=self.dtype, name="proj")(
+                quantize_tensor(out, proj_s), proj_s
+            )
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -397,6 +449,8 @@ class MHCTransformerBlock(nn.Module):
     use_manifold_attention: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -418,6 +472,8 @@ class MHCTransformerBlock(nn.Module):
                 num_heads=self.num_heads,
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
+                act_quant=self.act_quant,
+                quant_calib=self.quant_calib,
                 name="attn",
             )(nn.LayerNorm(dtype=self.dtype)(x), deterministic)
         x = x + attn
@@ -431,5 +487,7 @@ class MHCTransformerBlock(nn.Module):
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
             use_pallas=self.use_pallas,
+            act_quant=self.act_quant,
+            quant_calib=self.quant_calib,
             name="mhc_ffn",
         )(x, deterministic)

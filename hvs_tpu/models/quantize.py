@@ -53,6 +53,7 @@ def calibrate_quant_scales(
     """
     calib_model = model.clone(
         act_quant=False, act_quant_fpn=False, act_quant_mhc=False,
+        act_quant_vit=False,
         quant_calib=True,
     )
     # Drop any 'quant' collection riding along (e.g. identity scales from an

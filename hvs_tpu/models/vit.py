@@ -89,6 +89,8 @@ class VisionTransformerEncoder(nn.Module):
     use_manifold_attention: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(self, tokens: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -104,6 +106,8 @@ class VisionTransformerEncoder(nn.Module):
                 use_manifold_attention=self.use_manifold_attention,
                 precomputed_constraints=self.precomputed_constraints,
                 use_pallas=self.use_pallas,
+                act_quant=self.act_quant,
+                quant_calib=self.quant_calib,
                 name=f"block{i}",
             )(x, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
@@ -177,6 +181,8 @@ class HybridVisionEncoder(nn.Module):
     use_manifold_attention: bool = False
     precomputed_constraints: bool = False
     use_pallas: bool = False
+    act_quant: bool = False
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(self, feat: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -205,6 +211,8 @@ class HybridVisionEncoder(nn.Module):
             use_manifold_attention=self.use_manifold_attention,
             precomputed_constraints=self.precomputed_constraints,
             use_pallas=self.use_pallas,
+            act_quant=self.act_quant,
+            quant_calib=self.quant_calib,
             name="encoder",
         )(tokens, deterministic)
 
@@ -225,6 +233,8 @@ class HybridVisionEncoder(nn.Module):
             monitor=self.monitor,
             precomputed_constraints=self.precomputed_constraints,
             use_pallas=self.use_pallas,
+            act_quant=self.act_quant,
+            quant_calib=self.quant_calib,
             name="mhc_fuse",
         )(fused, deterministic)
         return fused

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_engine(args, resolution: int, quantized: bool, fpn: bool = False,
-                mhc: bool = False):
+                mhc: bool = False, vit: bool = False):
     from hvs_tpu.config import InferenceConfig, ModelConfig
     from hvs_tpu.inference import InferenceEngine
 
@@ -53,6 +53,7 @@ def make_engine(args, resolution: int, quantized: bool, fpn: bool = False,
         mcfg.quantization.scales_path = args.scales_out
         mcfg.quantization.quantize_fpn = fpn
         mcfg.quantization.quantize_mhc = mhc
+        mcfg.quantization.quantize_vit = vit
     icfg = InferenceConfig()
     icfg.preprocessing.image_size = resolution
     icfg.postprocessing.score_threshold = 0.05
@@ -177,6 +178,8 @@ def main():
                    help="also evaluate the int8+FPN variant (quantize_fpn)")
     p.add_argument("--eval-mhc", action="store_true",
                    help="also evaluate the int8+mHC-chain variant (quantize_mhc)")
+    p.add_argument("--eval-vit", action="store_true",
+                   help="also evaluate the int8+ViT variant (quantize_vit)")
     p.add_argument("--scales-out", default="runs/r3/checkpoints/quant_scales.msgpack")
     p.add_argument("--output", default="QUANT_r04.json")
     args = p.parse_args()
@@ -227,15 +230,20 @@ def main():
         acc_f = evaluate(fe, class_names, ims, g)
         fps_f = measure_fps(fe, res, args.bench_batch)
         entry = {"float": {**acc_f, **fps_f}}
-        variants = [("int8", False, False)]
+        variants = [("int8", False, False, False)]
         if args.eval_fpn:
-            variants.append(("int8_fpn", True, False))
+            variants.append(("int8_fpn", True, False, False))
         if args.eval_mhc:
-            variants.append(("int8_mhc", False, True))
-        if args.eval_fpn and args.eval_mhc:
-            variants.append(("int8_fpn_mhc", True, True))
-        for label, fpn, mhc in variants:
-            qe = make_engine(args, res, quantized=True, fpn=fpn, mhc=mhc)
+            variants.append(("int8_mhc", False, True, False))
+        if args.eval_vit:
+            variants.append(("int8_vit", False, False, True))
+        if args.eval_fpn and args.eval_mhc and args.eval_vit:
+            variants.append(("int8_all", True, True, True))
+        elif args.eval_fpn and args.eval_mhc:
+            variants.append(("int8_fpn_mhc", True, True, False))
+        for label, fpn, mhc, vit in variants:
+            qe = make_engine(args, res, quantized=True, fpn=fpn, mhc=mhc,
+                             vit=vit)
             acc_q = evaluate(qe, class_names, ims, g)
             fps_q = measure_fps(qe, res, args.bench_batch)
             entry[label] = {

@@ -37,10 +37,11 @@ run bench_float 1800 python bench.py
 HVS_BENCH_QUANT=1 run bench_quant1 1800 python bench.py
 HVS_BENCH_QUANT=2 run bench_quant2 1800 python bench.py
 HVS_BENCH_QUANT=3 run bench_quant3 1800 python bench.py
+HVS_BENCH_QUANT=4 run bench_quant4 1800 python bench.py
 
 # 3. Int8 PTQ accuracy on the trained checkpoint -> QUANT_r04.json + scales.
 run quantize 5400 python scripts/quantize.py \
-  --checkpoint runs/r3/checkpoints/best --eval-fpn --eval-mhc \
+  --checkpoint runs/r3/checkpoints/best --eval-fpn --eval-mhc --eval-vit \
   --data-root data/shapes640 --output QUANT_r04.json \
   --scales-out runs/r3/checkpoints/quant_scales.msgpack
 

@@ -230,3 +230,43 @@ def test_merge_percentile_stats_tames_outlier_batch():
     # 100th percentile == max
     p100 = build_quant_collection(merge_percentile_stats(trees, 100.0))
     assert float(p100["block"]["x_scale"]) == 50.0
+
+
+@pytest.mark.slow
+def test_vit_block_int8_calibrated_close_to_float():
+    """act_quant on MHCTransformerBlock: QKV/proj + mHC-chain int8 with
+    calibrated scales stays close to the float block; float checkpoints load
+    unchanged (identical param tree)."""
+    from hvs_tpu.models import compute_constraints
+    from hvs_tpu.models.layers import MHCTransformerBlock
+
+    kw = dict(dim=32, num_heads=2, expansion_rate=1, mlp_ratio=2, sk_iters=5,
+              dropout_rate=0.0, dtype=jnp.float32)
+    float_blk = MHCTransformerBlock(**kw, precomputed_constraints=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 32))
+    v = float_blk.init(jax.random.PRNGKey(1), x)
+    cons = compute_constraints(v["params"], sk_iters=5)
+
+    q_blk = MHCTransformerBlock(**kw, precomputed_constraints=True,
+                                act_quant=True)
+    vq = q_blk.init(jax.random.PRNGKey(1), x)
+    assert set(traverse_util.flatten_dict(v["params"])) == set(
+        traverse_util.flatten_dict(vq["params"])
+    )
+
+    calib_blk = MHCTransformerBlock(**kw, quant_calib=True)
+    _, mut = calib_blk.apply(v, x, mutable=["quant_stats"])
+    scales = build_quant_collection(mut["quant_stats"])
+    assert "qkv_in_scale" in scales["attn"] and "proj_in_scale" in scales["attn"]
+    assert "y1_scale" in scales["mhc_ffn"]
+
+    out_f = float_blk.apply({"params": v["params"], "constraints": cons}, x)
+    out_q = q_blk.apply(
+        {"params": v["params"], "constraints": cons, "quant": scales}, x
+    )
+    f = np.asarray(out_f, np.float32)
+    q = np.asarray(out_q, np.float32)
+    assert np.isfinite(q).all()
+    rel = np.abs(f - q).mean() / (np.abs(f).mean() + 1e-6)
+    assert rel < 0.15, rel  # random-init worst case; trained closeness is
+    # what QUANT_r04.json measures on chip
