@@ -38,9 +38,9 @@ def main() -> None:
     # backbone residual stream + head towers W8A8 (+FPN with =2). Throughput
     # does not depend on the scale VALUES, so identity scales suffice here;
     # accuracy of the quantized path is evidenced separately by
-    # scripts/quantize.py on the trained checkpoint (QUANT_r04.json once
-    # measured on the chip — round 3 ended with the tunnel wedged before the
-    # measurement could run).
+    # scripts/quantize.py on the trained checkpoint (QUANT_r04.json: @640
+    # float mAP 0.9249 @ 846.5 FPS vs int8 variants 0.88-0.92 mAP at
+    # 0.78-0.93x float — int8 does not beat the folded float path here).
     quant_mode = int(os.environ.get("HVS_BENCH_QUANT", "0") or 0)
     model = ProductionHybridVision(
         sk_iters=20,
