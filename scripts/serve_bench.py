@@ -43,7 +43,9 @@ def parse_args():
     p.add_argument("--inflight", type=int, default=64,
                    help="max in-flight requests (backpressure)")
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--num-classes", type=int, default=80)
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="default: inferred from the checkpoint's detection "
+                        "head shape (80 without a checkpoint)")
     p.add_argument("--output", default=None)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--bucket", type=int, default=16,
@@ -90,6 +92,27 @@ def load_jpegs(args) -> list:
     return blobs
 
 
+def infer_num_classes(checkpoint: str) -> int:
+    """Read num_classes from the checkpoint's detection-head predict kernel.
+
+    Uses orbax metadata only (shapes, no array data), so it is cheap. The
+    prediction conv's last dim is anchors_per_cell * (5 + num_classes) with 3
+    anchors per cell (hvs_tpu/models/yolo_head.py).
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    md = ocp.StandardCheckpointer().metadata(os.path.abspath(checkpoint))
+    md = getattr(md, "item_metadata", md)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(md)[0]:
+        keys = jax.tree_util.keystr(path)
+        if "detection_head" in keys and "predict" in keys and "kernel" in keys:
+            out_ch = leaf.shape[-1]
+            assert out_ch % 3 == 0 and out_ch // 3 > 5, out_ch
+            return out_ch // 3 - 5
+    raise ValueError(f"no detection-head predict kernel in {checkpoint}")
+
+
 def main():
     args = parse_args()
     if args.tiny:
@@ -106,6 +129,12 @@ def main():
 
     import cv2
 
+    if args.num_classes is None:
+        args.num_classes = (infer_num_classes(args.checkpoint)
+                            if args.checkpoint else 80)
+        print(f"num_classes={args.num_classes} (from checkpoint)"
+              if args.checkpoint else "num_classes=80 (default)",
+              file=sys.stderr, flush=True)
     mcfg = ModelConfig()
     mcfg.detection.num_classes = args.num_classes
     icfg = InferenceConfig()
