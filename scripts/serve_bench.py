@@ -197,7 +197,22 @@ def main():
     # ~90 s); absorb it — and any thread-local first-use costs — before the
     # measured window opens.
     print("warming through batcher...", file=sys.stderr, flush=True)
-    for fut in [engine.submit(warm) for _ in range(max(args.bucket, 4))]:
+    from hvs_tpu.inference import EngineOverloaded
+    # Respect admission control: with a small latency-sized queue (e.g.
+    # bucket 2 -> depth 2) a burst of 4 submits is correctly rejected, so
+    # warm with backpressure instead of a blind burst.
+    warm_pending = []
+    for _ in range(max(args.bucket, 4)):
+        while True:
+            try:
+                warm_pending.append(engine.submit(warm))
+                break
+            except EngineOverloaded:
+                if warm_pending:
+                    warm_pending.pop(0).result(timeout=300)
+                else:
+                    time.sleep(0.05)
+    for fut in warm_pending:
         fut.result(timeout=300)
     # Fresh metrics window: warm-phase latencies (compile/AOT-load, the
     # first-pull stall) must not leak into serving stats.
