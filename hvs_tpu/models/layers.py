@@ -184,19 +184,45 @@ class ManifoldHyperConnection(nn.Module):
             and not self.act_quant
             and self.expansion_rate == 1
             and self.mlp_ratio == 1
-            and d % 128 == 0
-            and d <= 512
         ):
-            # Fused single-kernel path: whole block in VMEM, one HBM round-trip
-            # (hvs_tpu.ops.pallas.mhc_pallas; serve path is bandwidth-bound).
-            from ..ops.pallas.mhc_pallas import mhc_block_pallas
+            from ..ops.pallas.mhc_pallas import (
+                mhc_block_pallas_packed,
+                mhc_pallas_min_tokens,
+                mhc_pallas_packed_supported,
+            )
 
-            tokens = x_in.reshape(-1, d)
-            out = mhc_block_pallas(
-                tokens, h_pre, w1, b1, w2, b2, h_post, h_res,
-                ln1_s, ln1_b, ln2_s, ln2_b,
-            ).reshape(x_in.shape)
-            return out.astype(self.dtype)
+            n_tokens = 1
+            for s in x_in.shape[:-1]:
+                n_tokens *= s
+            # Token count is static under jit, so this picks the faster path
+            # per serve bucket: small maps (batch-1 latency bucket) stay on
+            # XLA where kernel-launch overhead would dominate the bytes saved.
+            if mhc_pallas_packed_supported(d) and n_tokens >= mhc_pallas_min_tokens():
+                # Fused single-kernel path: whole chain in VMEM, one HBM
+                # round-trip instead of ~6 (the serve program is HBM-bound;
+                # sub-lane widths 32/64 — the byte-heavy backbone stages —
+                # ride the token-packing trick, see ops/pallas/mhc_pallas.py).
+                if x_in.ndim == 4:
+                    # Token order (H, W, B): XLA's conv layouts on this path
+                    # are {3,0,2,1} (physically [H, W, B, C]), so this
+                    # transpose+reshape lowers to a free bitcast instead of
+                    # the full-map relayout copy a (B, H, W) flattening costs
+                    # on both sides of the kernel. Per-token math is order-
+                    # invariant, so any flattening is equally correct.
+                    b_, h_, w_, _ = x_in.shape
+                    tokens = jnp.transpose(x_in, (1, 2, 0, 3)).reshape(-1, d)
+                else:
+                    tokens = x_in.reshape(-1, d)
+                out = mhc_block_pallas_packed(
+                    tokens, w1_folded_v.value, b1, w2, b2,
+                    h_post_v.value, h_res_v.value,
+                    ln1_s, ln1_b, ln2_s, ln2_b,
+                )
+                if x_in.ndim == 4:
+                    out = out.reshape(h_, w_, b_, d).transpose((2, 0, 1, 3))
+                else:
+                    out = out.reshape(x_in.shape)
+                return out.astype(self.dtype)
 
         # int8 serving path: per-site calibrated scales from the 'quant'
         # collection; activations quantize to int8 BETWEEN the chain's

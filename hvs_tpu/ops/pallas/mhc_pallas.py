@@ -129,6 +129,173 @@ def mhc_pallas_supported(d: int, expansion_rate: int, mlp_ratio: int) -> bool:
     return expansion_rate == 1 and mlp_ratio == 1 and d % 128 == 0 and d <= 512
 
 
+# ---------------------------------------------------------------------------
+# Packed fused kernel — covers the byte-heavy sub-lane widths (d = 32, 64).
+#
+# The original kernel above requires d % 128 == 0 (the TPU lane width), which
+# excludes the backbone's stage-1/2 channel-mHC (bottleneck widths 32/64) —
+# exactly where the HBM bytes are: measured on the flagship serve program at
+# batch 16 @640², the mHC chains carry 46% of backbone bytes (5.38 GB/batch,
+# probe in commit history) and the backbone is 56% of all serve traffic.
+#
+# Packing trick: view p = 128/d consecutive tokens as ONE 128-lane row
+# ([N, d] -> [N/p, 128], a free reshape — trailing dims are contiguous), and
+# lift every [d, d] weight to the block-diagonal [128, 128] constant
+# kron(I_p, W). Per-token channel matmuls become one lane-aligned matmul.
+# LayerNorm statistics become matmuls too, against A = kron(I_p, 11ᵀ/d):
+#   mean = x @ A          (replicates each segment's mean across its lanes)
+#   var  = ((x - mean)²) @ A
+# 1/d is a power of two for every supported width, so the bf16 A-products
+# x_i/d are EXACT (exponent shift); the means match the fp32 reduction up to
+# f32 accumulation order. The variance squares round to bf16 before the MXU
+# (~2⁻⁹ relative), which sits below the bf16 OUTPUT rounding of the layer —
+# measured parity vs the XLA path is tested in tests/test_pallas_mhc.py.
+#
+# The same code serves d % 128 == 0 natively (p = 1, A = 11ᵀ/d), so every
+# channel width the flagship uses (32/64/128/256) takes this one kernel.
+# The serve chain starts from the folded W1 (H_pre @ W1, see
+# models/constraints.py), one matmul fewer than the training-path math.
+# Reference behavior being fused: src/models/manifold_layers.py:223-280.
+# ---------------------------------------------------------------------------
+
+
+def _mhc_packed_kernel(
+    x_ref, w1f_ref, b1_ref, w2_ref, b2_ref, h_post_ref, h_res_ref,
+    ln1_s_ref, ln1_b_ref, ln2_s_ref, ln2_b_ref, a_ref, out_ref,
+    *, packed: bool,
+):
+    """Fused serve-path mHC on (optionally) packed rows. Rounding discipline
+    matches the XLA path: bf16 matmul inputs, fp32 MXU accumulation, bf16
+    between ops; LayerNorm statistics fp32. Packed rows compute segment stats
+    via the A matmul (means exact — power-of-two products; variance squares
+    round to bf16, below the layer's own bf16 output rounding); unpacked rows
+    (d >= 128) use exact fp32 lane reductions."""
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    eps = 1e-6
+    x = x_ref[:]  # [TILE, D] bf16
+    a = a_ref[:]  # [D, D] bf16 segment-averaging matrix
+
+    def seg_layernorm(t_bf, scale, bias):
+        if packed:
+            mu = jnp.dot(t_bf, a, preferred_element_type=f32)
+            xc = t_bf.astype(f32) - mu
+            var = jnp.dot((xc * xc).astype(bf), a, preferred_element_type=f32)
+        else:
+            t32 = t_bf.astype(f32)
+            mu = jnp.mean(t32, axis=-1, keepdims=True)
+            xc = t32 - mu
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        return xc * jax.lax.rsqrt(var + eps) * scale + bias
+
+    y = seg_layernorm(x, ln1_s_ref[:], ln1_b_ref[:]).astype(bf)
+    y = jnp.dot(y, w1f_ref[:], preferred_element_type=f32).astype(bf)
+    y = jax.nn.gelu(y + b1_ref[:].astype(bf))
+    y = jnp.dot(y, w2_ref[:], preferred_element_type=f32).astype(bf)
+    y = jax.nn.gelu(y + b2_ref[:].astype(bf))
+    y = jnp.dot(y, h_post_ref[:], preferred_element_type=f32).astype(bf)
+
+    res = jnp.dot(x, h_res_ref[:], preferred_element_type=f32).astype(bf)
+    out = seg_layernorm(res + y, ln2_s_ref[:], ln2_b_ref[:])
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def mhc_block_pallas_packed(
+    x: jax.Array,
+    w1_folded: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    h_post: jax.Array,
+    h_res: jax.Array,
+    ln1_scale: jax.Array,
+    ln1_bias: jax.Array,
+    ln2_scale: jax.Array,
+    ln2_bias: jax.Array,
+) -> jax.Array:
+    """Fused serve-path mHC block. ``x``: [n_tokens, d] with d in
+    {32, 64, 128, 256, 512}; returns [n_tokens, d] in x.dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = jax.default_backend() == "cpu"  # CPU tests run interpreted
+
+    n, d = x.shape
+    assert mhc_pallas_packed_supported(d), f"unsupported mHC width {d}"
+    p = 128 // d if d < 128 else 1
+    big = d * p  # packed row width: 128, or d itself when d >= 128
+
+    # Pad tokens to a whole number of packed tiles, then pack.
+    tile = 512 if big <= 128 else 256
+    chunk = tile * p
+    n_pad = (chunk - n % chunk) % chunk
+    x_p = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
+    rows = x_p.shape[0] // p
+    x_packed = x_p.reshape(rows, big)
+
+    bf = jnp.bfloat16
+    eye = jnp.eye(p, dtype=jnp.float32)
+
+    def lift(w):  # [d, d] -> block-diagonal [big, big]
+        w32 = w.astype(jnp.float32)
+        return (jnp.kron(eye, w32) if p > 1 else w32).astype(bf)
+
+    def tilev(v, dtype=jnp.float32):  # [d] -> [1, big]
+        v = v.astype(dtype)
+        return (jnp.tile(v, p) if p > 1 else v).reshape(1, big)
+
+    # Segment-averaging matrix: exact bf16 products (1/d is a power of two).
+    a_mat = jnp.kron(eye, jnp.full((d, d), 1.0 / d, jnp.float32)).astype(bf)
+
+    weights = [
+        lift(w1_folded),
+        tilev(b1),
+        lift(w2),
+        tilev(b2),
+        lift(h_post),
+        lift(h_res),
+        tilev(ln1_scale),
+        tilev(ln1_bias),
+        tilev(ln2_scale),
+        tilev(ln2_bias),
+        a_mat,
+    ]
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_mhc_packed_kernel, packed=p > 1),
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, big), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [full() for _ in weights],
+        out_specs=pl.BlockSpec(
+            (tile, big), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, big), x.dtype),
+        interpret=interpret,
+    )(x_packed, *weights)
+    out = out.reshape(rows * p, d)
+    return out[:n] if n_pad else out
+
+
+def mhc_pallas_packed_supported(d: int) -> bool:
+    """Widths the packed kernel serves: sub-lane widths that divide the
+    128-lane registers evenly, plus lane multiples up to the VMEM budget."""
+    return (128 % d == 0 or d % 128 == 0) and d <= 512
+
+
+def mhc_pallas_min_tokens() -> int:
+    """Trace-time token-count threshold below which the fused kernel loses to
+    XLA. The kernel trades ~6 HBM activation round-trips for one launch; on
+    small maps the fixed launch cost and tile padding dominate the bytes saved
+    (measured @640² flagship: batch-1 all-Pallas 3.76 ms/frame vs 2.43 ms XLA,
+    while batch-16 all-Pallas hits 871.9 FPS vs 796.1 XLA). Token counts are
+    static under jit, so each serve bucket independently compiles whichever
+    path is faster for its shapes. HVS_PALLAS_MIN_TOKENS overrides for sweeps."""
+    import os
+
+    return int(os.environ.get("HVS_PALLAS_MIN_TOKENS", "8192"))
+
+
 def apply_mhc_params_pallas(x: jax.Array, params: Dict, constraints: Dict
                             ) -> jax.Array:
     """Apply a fused mHC block from a layer's param/constraint subtrees

@@ -94,8 +94,9 @@ def test_mhc_pallas_matches_reference():
     assert np.mean(np.abs(a - b)) < 0.1
 
 
-def test_mhc_layer_pallas_path_matches_jnp_path():
+def test_mhc_layer_pallas_path_matches_jnp_path(monkeypatch):
     """End-to-end: the layer's use_pallas path equals the standard path."""
+    monkeypatch.setenv("HVS_PALLAS_MIN_TOKENS", "1")  # tiny test shapes
     from hvs_tpu.models import ManifoldHyperConnection, compute_constraints
 
     d = 128
@@ -124,6 +125,115 @@ def test_mhc_layer_pallas_path_matches_jnp_path():
     with jax.default_matmul_precision("bfloat16"):
         out_std = layer_std.apply(variables, x)
         out_pal = layer_pal.apply(variables, x)
+    a = np.asarray(out_std, np.float32).ravel()
+    b = np.asarray(out_pal, np.float32).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.999
+    assert np.mean(np.abs(a - b)) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Packed fused kernel (sub-lane widths via token packing)
+# ---------------------------------------------------------------------------
+
+
+def test_mhc_pallas_packed_supported_predicate():
+    from hvs_tpu.ops.pallas import mhc_pallas_packed_supported as sup
+
+    for d in (32, 64, 128, 256, 512):
+        assert sup(d), d
+    for d in (48, 96, 1024):
+        assert not sup(d), d
+
+
+def _packed_reference(x, w1f, b1, w2, b2, h_post, h_res, l1s, l1b, l2s, l2b):
+    """Serve-path math with the folded W1 (bf16 matmuls, fp32 LN stats) —
+    mirrors ManifoldHyperConnection's precomputed-constraints branch."""
+
+    def ln(v, s, b):
+        v32 = v.astype(jnp.float32)
+        mu = jnp.mean(v32, -1, keepdims=True)
+        var = jnp.mean(jnp.square(v32 - mu), -1, keepdims=True)
+        return (v32 - mu) * jax.lax.rsqrt(var + 1e-6) * s + b
+
+    bf = jnp.bfloat16
+    y = ln(x, l1s, l1b).astype(bf)
+    y = jnp.dot(y, w1f.astype(bf), preferred_element_type=jnp.float32).astype(bf)
+    y = jax.nn.gelu(y + b1.astype(bf))
+    y = jnp.dot(y, w2.astype(bf), preferred_element_type=jnp.float32).astype(bf)
+    y = jax.nn.gelu(y + b2.astype(bf))
+    y = jnp.dot(y, h_post.astype(bf), preferred_element_type=jnp.float32).astype(bf)
+    res = jnp.dot(
+        x.astype(bf), h_res.astype(bf), preferred_element_type=jnp.float32
+    ).astype(bf)
+    return ln(res + y, l2s, l2b).astype(x.dtype)
+
+
+@pytest.mark.parametrize("d", [32, 64, 128])
+def test_mhc_pallas_packed_matches_reference(d):
+    from hvs_tpu.ops.pallas import mhc_block_pallas_packed
+
+    k = jax.random.PRNGKey(4)
+    keys = jax.random.split(k, 12)
+    # Token count indivisible by both the packing factor and the tile.
+    n = 1234 if d < 128 else 300
+    x = jax.random.normal(keys[0], (n, d), jnp.bfloat16)
+    w1f = jax.random.normal(keys[1], (d, d)) * 0.09
+    b1 = jax.random.normal(keys[2], (d,)) * 0.01
+    w2 = jax.random.normal(keys[3], (d, d)) * 0.09
+    b2 = jax.random.normal(keys[4], (d,)) * 0.01
+    h_post = 2 * jax.nn.sigmoid(jax.random.normal(keys[5], (d, d)) * 0.1)
+    h_res = sinkhorn_log(6.0 * jnp.eye(d) + jax.random.normal(keys[6], (d, d)), 20)
+    l1s = jnp.ones((d,)) + 0.1 * jax.random.normal(keys[7], (d,))
+    l1b = 0.1 * jax.random.normal(keys[8], (d,))
+    l2s = jnp.ones((d,)) + 0.1 * jax.random.normal(keys[9], (d,))
+    l2b = 0.1 * jax.random.normal(keys[10], (d,))
+
+    out_pal = mhc_block_pallas_packed(
+        x, w1f, b1, w2, b2, h_post, h_res, l1s, l1b, l2s, l2b
+    )
+    out_ref = _packed_reference(
+        x, w1f, b1, w2, b2, h_post, h_res, l1s, l1b, l2s, l2b
+    )
+    assert out_pal.shape == (n, d)
+    a = np.asarray(out_pal, np.float32).ravel()
+    b = np.asarray(out_ref, np.float32).ravel()
+    # Same tolerance rationale as test_mhc_pallas_matches_reference: ~1-ulp
+    # GELU lowering differences amplified by the chain + final LN at these
+    # random (untrained-like) weight scales. The layer-level test below holds
+    # 0.999 at realistic weights.
+    assert np.corrcoef(a, b)[0, 1] > 0.995
+    assert np.mean(np.abs(a - b)) < 0.05
+
+
+@pytest.mark.parametrize("d", [32, 64])
+def test_mhc_layer_packed_pallas_path_matches_jnp_path(d, monkeypatch):
+    """The layer's use_pallas path now reaches sub-lane widths (the backbone's
+    stage-1/2 bottleneck channels) through the packed kernel."""
+    monkeypatch.setenv("HVS_PALLAS_MIN_TOKENS", "1")  # tiny test shapes
+    from hvs_tpu.models import ManifoldHyperConnection, compute_constraints
+
+    layer_std = ManifoldHyperConnection(
+        dim=d, expansion_rate=1, mlp_ratio=1, sk_iters=10, dropout_rate=0.0,
+        precomputed_constraints=True,
+    )
+    layer_pal = ManifoldHyperConnection(
+        dim=d, expansion_rate=1, mlp_ratio=1, sk_iters=10, dropout_rate=0.0,
+        precomputed_constraints=True, use_pallas=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 5, 7, d))
+    v = layer_std.init(jax.random.PRNGKey(0), x)
+    params = dict(v["params"])
+    params["H_res_raw"] = 6.0 * jnp.eye(d) + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), (d, d)
+    )
+    variables = {
+        "params": params,
+        "constraints": compute_constraints({"layer": params}, 10)["layer"],
+    }
+    with jax.default_matmul_precision("bfloat16"):
+        out_std = layer_std.apply(variables, x)
+        out_pal = layer_pal.apply(variables, x)
+    assert out_pal.shape == x.shape
     a = np.asarray(out_std, np.float32).ravel()
     b = np.asarray(out_pal, np.float32).ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.999
