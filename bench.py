@@ -44,6 +44,10 @@ def main() -> None:
     quant_mode = int(os.environ.get("HVS_BENCH_QUANT", "0") or 0)
     model = ProductionHybridVision(
         sk_iters=20,
+        # Float path: fused packed Pallas mHC kernel (measured 872.4 vs 796.1
+        # FPS @640² batch 16; token-count gate keeps batch-1 on pure XLA).
+        # Quant modes keep their as-measured programs (QUANT_r04.json).
+        use_pallas=quant_mode == 0,
         act_quant=quant_mode >= 1,
         act_quant_fpn=quant_mode >= 2,
         act_quant_mhc=quant_mode >= 3,  # backbone mHC matmul chains int8

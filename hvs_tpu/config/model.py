@@ -27,6 +27,10 @@ class MHCConfig:
     gradient_clip: float = 0.5
     eigenvalue_threshold: float = 1.1
     dropout_rate: float = 0.1
+    # Fused Pallas mHC kernel on the serve path (ops/pallas/mhc_pallas.py).
+    # None = auto: on for production models on a TPU backend (measured +9.6%
+    # serve FPS @640² batch 16), off elsewhere (CPU would run interpreted).
+    use_pallas: Optional[bool] = None
 
     def validate(self):
         assert self.sinkhorn_iterations > 0
@@ -203,8 +207,18 @@ class ModelConfig(BaseConfig):
         cls = ProductionHybridVision if production else HybridVisionSystem
         if production:
             monitor = False
+        use_pallas = self.mhc.use_pallas
+        if use_pallas is None:
+            # Auto: the fused kernel is a serve-path win on TPU (+9.6% FPS
+            # @640² batch 16); on CPU backends Pallas runs interpreted, so
+            # keep the XLA path. Resolved at build time — the backend is
+            # fixed for the life of the process.
+            import jax
+
+            use_pallas = production and jax.default_backend() == "tpu"
         return cls(
             monitor=monitor,
+            use_pallas=use_pallas,
             num_classes=self.detection.num_classes,
             use_vit=self.vit.enabled,
             use_rag=self.rag.enabled,
