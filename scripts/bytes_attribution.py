@@ -68,7 +68,10 @@ def main() -> int:
     from hvs_tpu.models import ProductionHybridVision, compute_constraints
     from hvs_tpu.models.yolo_head import postprocess_detections
 
-    model = ProductionHybridVision(sk_iters=20)
+    # Serve default: fused packed Pallas mHC kernel on TPU (bench.py parity).
+    model = ProductionHybridVision(
+        sk_iters=20, use_pallas=jax.default_backend() == "tpu"
+    )
     rng = jax.random.PRNGKey(0)
     b, s = args.batch, args.image_size
     variables = jax.jit(functools.partial(model.init, task="detection"))(

@@ -62,7 +62,10 @@ def main() -> int:
     from hvs_tpu.models import ProductionHybridVision, compute_constraints
     from hvs_tpu.models.yolo_head import postprocess_detections
 
-    model = ProductionHybridVision(sk_iters=20)
+    # Serve default: fused packed Pallas mHC kernel on TPU (bench.py parity).
+    model = ProductionHybridVision(
+        sk_iters=20, use_pallas=jax.default_backend() == "tpu"
+    )
     rng = jax.random.PRNGKey(0)
     s = args.image_size
     variables = jax.jit(functools.partial(model.init, task="detection"))(
