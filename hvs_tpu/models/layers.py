@@ -187,6 +187,7 @@ class ManifoldHyperConnection(nn.Module):
         ):
             from ..ops.pallas.mhc_pallas import (
                 mhc_block_pallas_packed,
+                mhc_pallas_min_batch,
                 mhc_pallas_min_tokens,
                 mhc_pallas_packed_supported,
             )
@@ -194,10 +195,27 @@ class ManifoldHyperConnection(nn.Module):
             n_tokens = 1
             for s in x_in.shape[:-1]:
                 n_tokens *= s
-            # Token count is static under jit, so this picks the faster path
-            # per serve bucket: small maps (batch-1 latency bucket) stay on
-            # XLA where kernel-launch overhead would dominate the bytes saved.
-            if mhc_pallas_packed_supported(d) and n_tokens >= mhc_pallas_min_tokens():
+            # Batch and token count are static under jit, so this picks the
+            # faster path per serve bucket: the engine's latency buckets
+            # (batch 1/2) compile pure-XLA programs, throughput buckets take
+            # the kernel on its profitable sites (calibrated on chip —
+            # PALLAS_GATE_r04.json, rationale on the gate functions).
+            take_pallas = (
+                mhc_pallas_packed_supported(d)
+                and x_in.shape[0] >= mhc_pallas_min_batch()
+                and n_tokens >= mhc_pallas_min_tokens()
+            )
+            import os as _os
+
+            if _os.environ.get("HVS_PALLAS_LOG"):
+                # Trace-time only (static shapes): one line per mHC call site
+                # per compiled program — used by scripts/pallas_threshold_sweep.
+                print(
+                    f"[pallas-gate] shape={x_in.shape} d={d} "
+                    f"tokens={n_tokens} pallas={take_pallas}",
+                    flush=True,
+                )
+            if take_pallas:
                 # Fused single-kernel path: whole chain in VMEM, one HBM
                 # round-trip instead of ~6 (the serve program is HBM-bound;
                 # sub-lane widths 32/64 — the byte-heavy backbone stages —

@@ -286,14 +286,32 @@ def mhc_pallas_packed_supported(d: int) -> bool:
 def mhc_pallas_min_tokens() -> int:
     """Trace-time token-count threshold below which the fused kernel loses to
     XLA. The kernel trades ~6 HBM activation round-trips for one launch; on
-    small maps the fixed launch cost and tile padding dominate the bytes saved
-    (measured @640² flagship: batch-1 all-Pallas 3.76 ms/frame vs 2.43 ms XLA,
-    while batch-16 all-Pallas hits 871.9 FPS vs 796.1 XLA). Token counts are
-    static under jit, so each serve bucket independently compiles whichever
-    path is faster for its shapes. HVS_PALLAS_MIN_TOKENS overrides for sweeps."""
+    small maps the fixed launch cost and tile padding dominate the bytes saved.
+    Token counts are static under jit, so each serve bucket independently
+    compiles whichever path is faster for its shapes. HVS_PALLAS_MIN_TOKENS
+    overrides for sweeps (see scripts/pallas_threshold_sweep.py)."""
     import os
 
     return int(os.environ.get("HVS_PALLAS_MIN_TOKENS", "8192"))
+
+
+def mhc_pallas_min_batch() -> int:
+    """Trace-time batch floor for the fused kernel, measured on chip
+    (artifacts/PALLAS_GATE_r04.json, flagship @640 end-to-end serve):
+
+        batch 16: 1.14-1.16 ms/frame Pallas vs 1.25 XLA   (kernel +9%)
+        batch  4: 1.97-2.03           vs 2.46             (kernel +18%)
+        batch  2: 2.58-2.76           vs 2.37-2.44        (kernel -10%)
+        batch  1: 3.35-4.40           vs 2.84-3.19        (kernel -15%+)
+
+    Token count alone cannot express this policy: the batch-2 stride-4 map
+    (51.2k tokens) should stay on XLA while the batch-4 stride-8 map (25.6k)
+    should take the kernel. Batch is static under jit, so the engine's
+    latency buckets (1/2) compile pure-XLA programs and the throughput
+    buckets (4/8/16) take the kernel, each automatically."""
+    import os
+
+    return int(os.environ.get("HVS_PALLAS_MIN_BATCH", "4"))
 
 
 def apply_mhc_params_pallas(x: jax.Array, params: Dict, constraints: Dict

@@ -97,6 +97,7 @@ def test_mhc_pallas_matches_reference():
 def test_mhc_layer_pallas_path_matches_jnp_path(monkeypatch):
     """End-to-end: the layer's use_pallas path equals the standard path."""
     monkeypatch.setenv("HVS_PALLAS_MIN_TOKENS", "1")  # tiny test shapes
+    monkeypatch.setenv("HVS_PALLAS_MIN_BATCH", "1")
     from hvs_tpu.models import ManifoldHyperConnection, compute_constraints
 
     d = 128
@@ -210,6 +211,7 @@ def test_mhc_layer_packed_pallas_path_matches_jnp_path(d, monkeypatch):
     """The layer's use_pallas path now reaches sub-lane widths (the backbone's
     stage-1/2 bottleneck channels) through the packed kernel."""
     monkeypatch.setenv("HVS_PALLAS_MIN_TOKENS", "1")  # tiny test shapes
+    monkeypatch.setenv("HVS_PALLAS_MIN_BATCH", "1")
     from hvs_tpu.models import ManifoldHyperConnection, compute_constraints
 
     layer_std = ManifoldHyperConnection(
@@ -238,3 +240,40 @@ def test_mhc_layer_packed_pallas_path_matches_jnp_path(d, monkeypatch):
     b = np.asarray(out_pal, np.float32).ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.999
     assert np.mean(np.abs(a - b)) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Trace-time gate policy (batch floor + token floor)
+
+
+def _lowered_has_pallas(layer, variables, x):
+    import jax
+
+    jaxpr = jax.make_jaxpr(lambda v, a: layer.apply(v, a))(variables, x)
+    return "pallas_call" in str(jaxpr)
+
+
+@pytest.mark.parametrize(
+    "batch,min_batch,expect",
+    [(2, 4, False), (4, 4, True), (1, 1, True)],
+)
+def test_pallas_gate_batch_floor(batch, min_batch, expect, monkeypatch):
+    """The engine's latency buckets (batch < HVS_PALLAS_MIN_BATCH) must
+    compile pure-XLA programs; throughput buckets must take the kernel
+    (on-chip calibration: artifacts/PALLAS_GATE_r04.json)."""
+    monkeypatch.setenv("HVS_PALLAS_MIN_TOKENS", "1")
+    monkeypatch.setenv("HVS_PALLAS_MIN_BATCH", str(min_batch))
+    from hvs_tpu.models import ManifoldHyperConnection, compute_constraints
+
+    d = 128
+    layer = ManifoldHyperConnection(
+        dim=d, expansion_rate=1, mlp_ratio=1, sk_iters=5, dropout_rate=0.0,
+        precomputed_constraints=True, use_pallas=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 5, 7, d))
+    v = layer.init(jax.random.PRNGKey(1), x)
+    variables = {
+        "params": v["params"],
+        "constraints": compute_constraints({"l": v["params"]}, 5)["l"],
+    }
+    assert _lowered_has_pallas(layer, variables, x) == expect
