@@ -24,6 +24,24 @@ if "xla_backend_optimization_level" not in _flags:
     )
 os.environ["XLA_FLAGS"] = _flags
 
+# Shim google.cloud.logging BEFORE anything imports orbax: orbax.checkpoint's
+# __init__ unconditionally imports its cloud logger, whose google.cloud.logging
+# import spends ~4.6 s scanning installed-package metadata on this host
+# (google.api_core version-support check). Orbax only needs the Client symbol
+# to exist at class-definition time; no test uses cloud logging.
+import sys  # noqa: E402
+import types  # noqa: E402
+
+if "google.cloud.logging" not in sys.modules:
+    _fake_gcl = types.ModuleType("google.cloud.logging")
+
+    class _NoCloudLoggingClient:  # pragma: no cover - never instantiated
+        def __init__(self, *a, **k):
+            raise RuntimeError("google.cloud.logging is stubbed out in tests")
+
+    _fake_gcl.Client = _NoCloudLoggingClient
+    sys.modules["google.cloud.logging"] = _fake_gcl
+
 import jax  # noqa: E402  (import after env setup)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

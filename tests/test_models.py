@@ -285,44 +285,63 @@ def tiny_model_and_vars():
     v = jax.jit(functools.partial(model.init, task="detection"))(
         jax.random.PRNGKey(0), x
     )
-    return model, v
+    # ONE shared batch-1 forward program for every full-model test below:
+    # eager applies re-dispatch thousands of tiny ops per test (~26 s each on
+    # this host) and per-test jit closures each pay a fresh full-model XLA
+    # compile; a single jit object traced once serves them all.
+    fwd = jax.jit(lambda vv, xx: model.apply(vv, xx, task="detection"))
+    return model, v, fwd
 
 
 def test_full_model_detection(tiny_model_and_vars):
-    model, v = tiny_model_and_vars
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
-    out = model.apply(v, x, task="detection")
+    model, v, fwd = tiny_model_and_vars
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out = fwd(v, x)
     assert "detection" in out and "features" in out
-    assert out["features"].shape == (2, 32)
+    assert out["features"].shape == (1, 32)
     assert bool(jnp.all(jnp.isfinite(out["detection"]["boxes"])))
+    # Batch-independence at the wiring level, zero extra compiles (numerical
+    # batch>1 execution is covered by the engine bucket tests).
+    out2 = jax.eval_shape(
+        lambda vv: model.apply(vv, jnp.zeros((2, 64, 64, 3)), task="detection"),
+        v,
+    )
+    assert out2["features"].shape == (2, 32)
 
 
 def test_full_model_detect_e2e(tiny_model_and_vars):
-    model, v = tiny_model_and_vars
+    model, v, _ = tiny_model_and_vars
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
-    det, out = detect(model, v, x, score_threshold=0.01, max_detections=8)
+    # detect() is jit-compatible as a whole — compile it once instead of
+    # paying ~45 s of eager per-op dispatch (incl. eager NMS loops) on this
+    # 1-core host; the jitted program also persists in the disk cache.
+    det, out = jax.jit(
+        lambda vv, xx: detect(model, vv, xx, score_threshold=0.01,
+                              max_detections=8)
+    )(v, x)
     assert det.boxes.shape == (1, 8, 4)
     assert det.num_valid.shape == (1,)
 
 
 def test_full_model_deterministic(tiny_model_and_vars):
     """Same input -> identical outputs (reference test_inference.py:181-196)."""
-    model, v = tiny_model_and_vars
+    model, v, fwd = tiny_model_and_vars
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3))
-    f = jax.jit(lambda x: model.apply(v, x, task="detection")["detection"]["boxes"])
-    np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(f(x)))
+    a = fwd(v, x)["detection"]["boxes"]
+    b = fwd(v, x)["detection"]["boxes"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_serialization_roundtrip(tiny_model_and_vars, tmp_path):
     """Save/load -> allclose outputs (reference test_models.py:483-525)."""
-    model, v = tiny_model_and_vars
+    model, v, fwd = tiny_model_and_vars
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 3))
-    out1 = model.apply(v, x, task="detection")["detection"]["boxes"]
+    out1 = fwd(v, x)["detection"]["boxes"]
     blob = serialization.to_bytes(v)
     path = tmp_path / "model.msgpack"
     path.write_bytes(blob)
     v2 = serialization.from_bytes(v, path.read_bytes())
-    out2 = model.apply(v2, x, task="detection")["detection"]["boxes"]
+    out2 = fwd(v2, x)["detection"]["boxes"]
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
@@ -331,7 +350,7 @@ def test_classification_task(tiny_model_and_vars):
     classification graph is otherwise a one-off full-model XLA compile the
     default lane pays ~25 s for; numerical execution of the shared layers is
     covered by the detection tests)."""
-    model, _ = tiny_model_and_vars
+    model, _, _ = tiny_model_and_vars
     x = jnp.zeros((1, 64, 64, 3))
     v = jax.eval_shape(
         lambda k: model.init(k, x, task="classification"), jax.random.PRNGKey(0)
