@@ -44,8 +44,10 @@ def main() -> None:
     quant_mode = int(os.environ.get("HVS_BENCH_QUANT", "0") or 0)
     model = ProductionHybridVision(
         sk_iters=20,
-        # Float path: fused packed Pallas mHC kernel (measured 872.4 vs 796.1
-        # FPS @640² batch 16; token-count gate keeps batch-1 on pure XLA).
+        # Float path: fused packed Pallas mHC kernel on throughput buckets
+        # (measured 871.8-875.0 vs 796.1 FPS @640² batch 16); the batch-aware
+        # gate (PALLAS_GATE_r04.json) keeps batch-1/2 on pure XLA, where the
+        # kernel loses (batch-1 2.37-2.39 vs 2.72 ms/frame all-Pallas).
         # Quant modes keep their as-measured programs (QUANT_r04.json).
         use_pallas=quant_mode == 0,
         act_quant=quant_mode >= 1,

@@ -23,10 +23,15 @@ Preconditions (checked by the wrapper; falls back to plain jnp otherwise):
 Math identical to ManifoldHyperConnection.__call__ (bf16 matmuls with fp32
 accumulation, fp32 layernorm statistics).
 
-Measured on TPU v5e (flagship serve, batch 8 at 640x640): 13.42 ms with this
-kernel vs 13.33 ms XLA — no net win, because the eligible mHC layers carry a
-small fraction of the model's HBM traffic (the conv feature maps dominate).
-Kept as a correct, tested opt-in (``use_pallas=True``); default off.
+History: the original lane-width kernel (``mhc_block_pallas``) showed no net
+win (13.42 vs 13.33 ms, batch 8 @640²) because the byte-heavy sub-lane
+widths (d=32/64, the backbone's early stages) weren't eligible. The PACKED
+variant below reaches them by folding channel width into the lane dimension
+via token packing, and is the TPU serve default for throughput buckets:
+871.8-875.0 FPS @640² batch 16 vs 796.1 pure-XLA. The batch-aware gate
+(``mhc_pallas_min_batch``/``mhc_pallas_min_tokens``, calibrated on chip in
+``artifacts/PALLAS_GATE_r04.json``) keeps latency buckets (batch 1/2) on
+pure XLA where per-launch work is too small to amortize the kernel.
 """
 
 from __future__ import annotations
