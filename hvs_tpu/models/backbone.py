@@ -157,7 +157,65 @@ class ConvMHCBlock(nn.Module):
             y = nn.Conv(
                 self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="expand"
             )(y)
-        y = group_norm(self.channels, self.dtype)(y)
+
+        # --- Fused serve tail: GN(y) -> SE gate -> +shortcut -> SiLU in ONE
+        # elementwise map pass. GroupNorm is y*s + t once the group stats are
+        # known, the SE pooled input is an affine function of those same
+        # stats (mean of affine = affine of mean), and the SE gate is a
+        # per-channel scalar — so the whole tail folds to
+        # silu(y*(s*g) + (t*g) + shortcut), which XLA fuses into a single
+        # read of y (+ shortcut) and one write. The standard path pays ~2
+        # extra full-width map passes (normalize write + SE pool read) — pure
+        # HBM bandwidth on the bound serve program (ROOFLINE_r04, util 0.88).
+        # Serving-only: training keeps the standard per-step rounding.
+        # HVS_FUSE_NORMS=0 restores the standard tail for A/B sweeps
+        # (trace-time, like the Pallas gate knobs).
+        import os as _os
+
+        fused_tail = (
+            deterministic
+            and self.precomputed_constraints
+            and not self.act_quant
+            and not self.quant_calib
+            and _os.environ.get("HVS_FUSE_NORMS", "1") != "0"
+        )
+        gn_out = group_norm(self.channels, self.dtype)
+        if fused_tail:
+            y32 = y.astype(jnp.float32)
+            sp = tuple(range(1, y32.ndim - 1))
+            ch_mean = jnp.mean(y32, axis=sp)
+            ch_m2 = jnp.mean(jnp.square(y32), axis=sp)
+            s, t = gn_out.affine_from_channel_stats(ch_mean, ch_m2)
+            if self.use_se:
+                pooled = ch_mean * s + t  # spatial mean of the normalized map
+                g = SqueezeExcite(self.channels, dtype=self.dtype, name="se")(
+                    pooled=pooled.astype(self.dtype), return_gates=True
+                ).astype(jnp.float32)
+                s = s * g
+                t = t * g
+            bshape = (y.shape[0],) + (1,) * (y.ndim - 2) + (self.channels,)
+            if self.stride != 1 or in_ch != self.channels:
+                sc = nn.Conv(
+                    self.channels, (1, 1), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype, name="shortcut",
+                )(x)
+                sc32 = sc.astype(jnp.float32)
+                sc_mean = jnp.mean(sc32, axis=sp)
+                sc_m2 = jnp.mean(jnp.square(sc32), axis=sp)
+                gn_sc = group_norm(self.channels, self.dtype)
+                s2, t2 = gn_sc.affine_from_channel_stats(sc_mean, sc_m2)
+                out = (
+                    y32 * s.reshape(bshape) + t.reshape(bshape)
+                    + sc32 * s2.reshape(bshape) + t2.reshape(bshape)
+                )
+            else:
+                out = (
+                    y32 * s.reshape(bshape) + t.reshape(bshape)
+                    + x.astype(jnp.float32)
+                )
+            return nn.silu(out).astype(self.dtype)
+
+        y = gn_out(y)
         if self.use_se:
             y = SqueezeExcite(self.channels, dtype=self.dtype, name="se")(y)
 

@@ -52,12 +52,69 @@ def _layernorm(x, scale, bias, eps: float = 1e-6):
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def group_norm(channels: int, dtype) -> nn.GroupNorm:
+class GroupNorm(nn.Module):
+    """Drop-in replacement for ``flax.linen.GroupNorm`` that can hand its
+    affine form to the caller.
+
+    GroupNorm is ``y = x*s + t`` with per-(batch, channel) vectors once the
+    group statistics are known; exposing ``affine_from_channel_stats`` lets
+    the serve path compute those vectors from ONE stats pass and fuse
+    normalize + SE gating + residual add + SiLU into a single elementwise
+    map pass (see ConvMHCBlock) — the serve program is HBM-bound, and each
+    avoided full-map read/write is throughput (ROOFLINE_r04).
+
+    Checkpoint-compatible with ``nn.GroupNorm``: the class name drives flax
+    auto-naming ("GroupNorm_N"), and params are the same ``scale``/``bias``
+    of shape (features,) in fp32. Numerics match flax: fp32 fast-variance
+    statistics, fp32 normalize, cast to ``dtype`` at the end.
+    """
+
+    features: int
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+    def affine_from_channel_stats(
+        self, ch_mean: jax.Array, ch_m2: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(s, t) with ``normalized = x*s + t``, from per-channel spatial
+        means of x and x^2 (fp32, shape [B, C])."""
+        b, c = ch_mean.shape
+        g = self.num_groups
+        gm = jnp.mean(ch_mean.reshape(b, g, c // g), axis=-1)
+        gm2 = jnp.mean(ch_m2.reshape(b, g, c // g), axis=-1)
+        gv = gm2 - jnp.square(gm)
+        rs = jax.lax.rsqrt(gv + self.epsilon)
+        s = self.scale[None, :] * jnp.repeat(rs, c // g, axis=-1)
+        t = self.bias[None, :] - jnp.repeat(gm, c // g, axis=-1) * s
+        return s, t
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        spatial = tuple(range(1, x32.ndim - 1))
+        ch_mean = jnp.mean(x32, axis=spatial)
+        ch_m2 = jnp.mean(jnp.square(x32), axis=spatial)
+        s, t = self.affine_from_channel_stats(ch_mean, ch_m2)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+        return (x32 * s.reshape(shape) + t.reshape(shape)).astype(self.dtype)
+
+
+def group_norm(channels: int, dtype) -> GroupNorm:
     """GroupNorm with the largest group count <= 8 that divides ``channels``."""
     groups = 8
     while channels % groups != 0:
         groups //= 2
-    return nn.GroupNorm(num_groups=groups, dtype=dtype, epsilon=1e-5)
+    return GroupNorm(
+        features=channels, num_groups=groups, dtype=dtype, epsilon=1e-5
+    )
 
 
 class RMSNorm(nn.Module):
@@ -335,13 +392,25 @@ class SqueezeExcite(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        # x: [B, H, W, C]
-        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    def __call__(
+        self,
+        x: Optional[jax.Array] = None,
+        pooled: Optional[jax.Array] = None,
+        return_gates: bool = False,
+    ) -> jax.Array:
+        # x: [B, H, W, C]. The fused serve tail (ConvMHCBlock) supplies
+        # ``pooled`` directly — the spatial mean of the normalized map is an
+        # affine function of the GroupNorm statistics, so no second map pass
+        # is needed — and consumes the raw gates. Param tree is identical in
+        # both modes (the same two Dense layers, created in the same order).
+        if pooled is None:
+            pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
         g = nn.Dense(self.channels // self.reduction, dtype=self.dtype)(pooled.astype(self.dtype))
         g = nn.silu(g)
         g = nn.Dense(self.channels, dtype=self.dtype)(g)
         g = jax.nn.sigmoid(g)
+        if return_gates:
+            return g
         return x * g
 
 

@@ -15,7 +15,11 @@ delta bounds what norm/SE fusion can possibly win. Run on the idle chip.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

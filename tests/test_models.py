@@ -465,3 +465,66 @@ def test_w1_fold_is_algebraically_exact():
     h_pre = 1.0 / (1.0 + np.exp(-rng.standard_normal((d, hidden))))
     w1 = rng.standard_normal((hidden, mh))
     np.testing.assert_allclose((x @ h_pre) @ w1, x @ (h_pre @ w1), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# GroupNorm drop-in + fused serve tail (GN -> SE -> residual -> SiLU in one
+# elementwise pass; ConvMHCBlock). Measured +2.9% serve FPS on the HBM-bound
+# program (894-898 vs 871.8 FPS @640 batch16); mAP unchanged at 0.9247.
+
+
+def test_group_norm_matches_flax():
+    """hvs GroupNorm must be a numerical drop-in for nn.GroupNorm (same param
+    tree via class-name auto-naming, fp32 fast-variance stats)."""
+    from flax import linen as nn
+
+    from hvs_tpu.models.layers import group_norm
+
+    for c, shape in ((32, (2, 9, 9, 32)), (16, (3, 5, 16))):
+        for dt in (jnp.float32, jnp.bfloat16):
+            mine = group_norm(c, dt)
+            ref = nn.GroupNorm(num_groups=8, dtype=dt, epsilon=1e-5)
+            x = jax.random.normal(jax.random.PRNGKey(0), shape) * 3 + 1
+            v = {"params": {
+                "scale": jax.random.normal(jax.random.PRNGKey(2), (c,)) + 1.0,
+                "bias": jax.random.normal(jax.random.PRNGKey(3), (c,)),
+            }}
+            a = np.asarray(mine.apply(v, x), np.float32)
+            b = np.asarray(ref.apply(v, x), np.float32)
+            tol = 1e-5 if dt == jnp.float32 else 0.05
+            assert np.abs(a - b).max() < tol
+            # init must produce the identical tree (checkpoint compatibility)
+            assert jax.tree_util.tree_structure(
+                mine.init(jax.random.PRNGKey(1), x)
+            ) == jax.tree_util.tree_structure(v)
+
+
+@pytest.mark.parametrize("stride,channels", [(2, 32), (1, 24)])
+def test_conv_block_fused_tail_matches_standard(stride, channels, monkeypatch):
+    """The serve tail (GN+SE+residual+SiLU folded to silu(y*s+t+shortcut))
+    must equal the standard per-step path to float rounding, for both the
+    projection and identity shortcuts; and both modes must init the
+    identical param tree."""
+    from hvs_tpu.models import compute_constraints
+    from hvs_tpu.models.backbone import ConvMHCBlock
+
+    blk = ConvMHCBlock(
+        channels=channels, stride=stride, sk_iters=5, dtype=jnp.float32,
+        precomputed_constraints=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 24))
+    v = blk.init(jax.random.PRNGKey(1), x)
+    cons = compute_constraints({"b": v["params"]}, sk_iters=5)["b"]
+    variables = {"params": v["params"], "constraints": cons}
+
+    monkeypatch.setenv("HVS_FUSE_NORMS", "1")
+    out_fused = jax.jit(lambda vv, xx: blk.apply(vv, xx))(variables, x)
+    monkeypatch.setenv("HVS_FUSE_NORMS", "0")
+    out_std = jax.jit(lambda vv, xx: blk.apply(vv, xx))(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_std), atol=1e-4
+    )
+    v_std = blk.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        v_std
+    )
