@@ -131,7 +131,12 @@ def test_manifold_regularization_nonnegative_and_differentiable():
 
 def test_mhc_partition_selects_h_matrices():
     model = HybridVisionSystem(**TINY)
-    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), task="detection")
+    # Partition labels depend only on tree PATHS — eval_shape gives the same
+    # tree with zero compiles (the eager init cost ~38 s cold on this host).
+    v = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 3)), task="detection"),
+        jax.random.PRNGKey(0),
+    )
     labels = mhc_partition(v["params"])
     flat = jax.tree_util.tree_leaves_with_path(labels)
     mhc_count = sum(1 for _, l in flat if l == "mhc")
