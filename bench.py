@@ -62,10 +62,25 @@ def main() -> None:
     variables = jax.jit(functools.partial(model.init, task="detection"))(
         rng, init_images
     )
+    params = variables["params"]
+    # HVS_BENCH_CHECKPOINT=<orbax dir>: bench the TRAINED weights (EMA when
+    # present) instead of random init. Throughput is value-independent, but
+    # the headline should be the literally-shipped serve program — trained
+    # 80-class checkpoint included (VERDICT r4 task 1).
+    ckpt = os.environ.get("HVS_BENCH_CHECKPOINT", "")
+    if ckpt:
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(ckpt))
+        loaded = restored.get("ema_params") or restored["params"]
+        params = jax.tree_util.tree_map(
+            lambda live, res: jnp.asarray(res, live.dtype), params, loaded
+        )
     # Serving fast path: constrained matrices computed once at load.
     prepared = {
-        "params": variables["params"],
-        "constraints": compute_constraints(variables["params"], sk_iters=20),
+        "params": params,
+        "constraints": compute_constraints(params, sk_iters=20),
     }
     if quant_mode:
         prepared["quant"] = variables["quant"]  # identity scales from init
@@ -80,7 +95,10 @@ def main() -> None:
         )
         return det.boxes, det.scores, det.classes
 
-    batch = 16  # throughput-optimal bucket (measured: 16 > 8 > 32 on v5e)
+    # Throughput-optimal bucket (measured: 16 > 8 > 32 on v5e in r2; the
+    # r5 bucket sweep re-checks 32/64 under the fused program —
+    # HVS_BENCH_BATCH overrides for that sweep).
+    batch = int(os.environ.get("HVS_BENCH_BATCH", "16") or 16)
     images = jax.random.uniform(rng, (batch, 640, 640, 3), jnp.float32)
 
     # Warmup / compile.
@@ -107,17 +125,18 @@ def main() -> None:
     frame_ms = (time.perf_counter() - t0) / 60 * 1e3
 
     baseline_fps = 35.0  # RTX 3090 @ 640x640 (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "fps_per_chip_640_detect_e2e",
-                "value": round(fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / baseline_fps, 2),
-                "batch1_frame_ms": round(frame_ms, 2),
-            }
-        )
-    )
+    row = {
+        "metric": "fps_per_chip_640_detect_e2e",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline_fps, 2),
+        "batch1_frame_ms": round(frame_ms, 2),
+    }
+    if ckpt:
+        row["checkpoint"] = ckpt
+    if batch != 16:
+        row["batch"] = batch
+    print(json.dumps(row))
 
 
 def _preflight(timeout_s: float = 240.0, retry_wait_s: float = 300.0) -> None:

@@ -3,7 +3,13 @@ camera-stream API its broken streaming.py never actually defined)."""
 
 from .dataset import BaseVisionDataset, letterbox, load_image
 from .coco import COCODataset, COCODataModule
-from .shapes import SHAPE_CLASSES, generate_dataset as generate_shapes_dataset, generate_image as generate_shapes_image
+from .shapes import (
+    SHAPE_CLASSES,
+    SHAPE80_CLASSES,
+    class_names_for,
+    generate_dataset as generate_shapes_dataset,
+    generate_image as generate_shapes_image,
+)
 from .transforms import (
     MHCTransformComposer,
     AdaptiveAugmentation,
@@ -41,7 +47,8 @@ from .streaming import (
 __all__ = [
     "BaseVisionDataset", "letterbox", "load_image",
     "COCODataset", "COCODataModule",
-    "SHAPE_CLASSES", "generate_shapes_dataset", "generate_shapes_image",
+    "SHAPE_CLASSES", "SHAPE80_CLASSES", "class_names_for",
+    "generate_shapes_dataset", "generate_shapes_image",
     "MHCTransformComposer", "AdaptiveAugmentation", "batch_augment_device",
     "mosaic", "mixup", "hflip", "color_jitter", "random_resized_crop",
     "rotate_small", "random_erasing",

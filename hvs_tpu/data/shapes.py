@@ -51,6 +51,96 @@ SHAPE_CLASSES = (
     "star",
 )
 
+# ---------------------------------------------------------------------------
+# 80-class taxonomy (round 5): shape x color-family x fill-pattern grid.
+#
+# The reference is an 80-class COCO system (reference:
+# src/data/dataset.py:428-450 — the default class list; README.md:183 —
+# mAP@0.5 = 0.78 on 80-way COCO). The 8-class geometry taxonomy above cannot
+# exercise an 80-way classification path, so the 80-class benchmark factors
+# class identity over three visual axes the detector must read jointly:
+#
+#   8 geometry classes x 5 color families x 2 fill patterns = 80 classes
+#
+#   * geometry: the 8 SHAPE_CLASSES silhouettes;
+#   * color family: a HUE BAND, not a fixed color — hue is sampled inside
+#     the band and saturation/value jitter per instance, so the model must
+#     learn hue categories rather than memorize RGB triples;
+#   * fill: "solid", or "striped" — parallel bands at ~35% value inside the
+#     instance, period scaled with instance size (>=4 px so the COCO-small
+#     bucket keeps >=2 visible bands through AA + JPEG q92).
+#
+# Label layout: cls = shape_id * 10 + family_id * 2 + fill_id. The small/
+# medium/large SIZE_BUCKETS quota is unchanged, so per-size AP stays real.
+# ---------------------------------------------------------------------------
+
+# (name, hue_lo_deg, hue_hi_deg); red wraps around 360.
+COLOR_FAMILIES = (
+    ("red", 350.0, 375.0),
+    ("yellow", 40.0, 65.0),
+    ("green", 100.0, 140.0),
+    ("blue", 200.0, 240.0),
+    ("magenta", 285.0, 320.0),
+)
+
+FILL_PATTERNS = ("solid", "striped")
+
+SHAPE80_CLASSES = tuple(
+    f"{shape}_{family}_{fill}"
+    for shape in SHAPE_CLASSES
+    for family, _, _ in COLOR_FAMILIES
+    for fill in FILL_PATTERNS
+)
+
+
+def class_names_for(num_classes: int) -> Tuple[str, ...]:
+    """Class-name tuple for a supported taxonomy size (8 or 80)."""
+    if num_classes == len(SHAPE_CLASSES):
+        return SHAPE_CLASSES
+    if num_classes == len(SHAPE80_CLASSES):
+        return SHAPE80_CLASSES
+    raise ValueError(
+        f"unsupported taxonomy size {num_classes}; expected 8 or 80"
+    )
+
+
+def _hsv_to_rgb(h_deg: float, s: float, v: float) -> np.ndarray:
+    """Scalar HSV (h in degrees) -> RGB float32 in [0, 255]."""
+    h = (h_deg % 360.0) / 60.0
+    i = int(h) % 6
+    f = h - int(h)
+    p, q, t = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
+    rgb = ((v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q))[i]
+    return np.asarray(rgb, np.float32) * 255.0
+
+
+def _sample_family_color(rng: np.random.Generator, family_id: int) -> np.ndarray:
+    """Sample an RGB color inside a hue-band family (sat/value jittered)."""
+    _, lo, hi = COLOR_FAMILIES[family_id]
+    hue = float(rng.uniform(lo, hi))
+    sat = float(rng.uniform(0.78, 1.0))
+    val = float(rng.uniform(0.78, 1.0))
+    return _hsv_to_rgb(hue, sat, val)
+
+
+def _apply_stripes(img: np.ndarray, stamp: np.ndarray, cx: float, cy: float,
+                   s: float, stripe_theta: float) -> None:
+    """Darken alternating parallel bands inside an instance mask.
+
+    Multiplicative (x0.35) so hue — the color-family signal — is preserved in
+    both bands. Period >= 4 px keeps stripes legible on COCO-small instances.
+    """
+    ys, xs = np.nonzero(stamp)
+    if ys.size == 0:
+        return
+    period = float(np.clip(0.55 * s, 4.0, 22.0))
+    c, si = np.cos(stripe_theta), np.sin(stripe_theta)
+    phase = (xs - cx) * c + (ys - cy) * si
+    dark = (np.floor(phase / (period / 2.0)).astype(np.int64) % 2) == 0
+    sel_y, sel_x = ys[dark], xs[dark]
+    img[sel_y, sel_x] = (img[sel_y, sel_x].astype(np.float32) * 0.35
+                         ).astype(img.dtype)
+
 # Saturated foreground palette (BGR-agnostic; stored RGB). Class-independent.
 _PALETTE = np.asarray(
     [
@@ -203,11 +293,17 @@ def generate_image(
     max_shapes: int = 12,
     max_overlap: float = 0.40,
     with_dense: bool = False,
+    num_classes: int = 8,
 ):
     """One synthetic frame.
 
     Returns ``(image_rgb_uint8 [size,size,3], boxes_xywh_px [N,4] float32,
-    labels [N] int32)`` with labels indexing :data:`SHAPE_CLASSES`.
+    labels [N] int32)`` with labels indexing :data:`SHAPE_CLASSES` (the
+    default ``num_classes=8``) or :data:`SHAPE80_CLASSES`
+    (``num_classes=80``, the reference-scale taxonomy — 80-way like COCO,
+    reference: src/data/dataset.py:428-450). The 8-class path draws the
+    identical RNG sequence it always has, so existing datasets regenerate
+    byte-identically.
 
     With ``with_dense=True`` additionally returns ``(seg_mask, depth)``:
     ``seg_mask`` [size,size] uint8 class-id+1 per pixel (0 = background, exact
@@ -217,6 +313,9 @@ def generate_image(
     model the SafetyMonitor assumes). Targets for the segmentation/depth
     heads (reference: src/models/hybrid_vision.py:131-156).
     """
+    if num_classes not in (8, 80):
+        raise ValueError(f"unsupported num_classes {num_classes}")
+    eighty = num_classes == 80
     img = _background(rng, size)
     seg = np.zeros((size, size), np.uint8) if with_dense else None
     depth = np.full((size, size), 10.0, np.float32) if with_dense else None
@@ -225,8 +324,13 @@ def generate_image(
     labels: List[int] = []
     for _ in range(n):
         for _attempt in range(20):
-            cls_id = int(rng.integers(0, len(SHAPE_CLASSES)))
-            cls = SHAPE_CLASSES[cls_id]
+            cls_id = int(rng.integers(0, num_classes))
+            if eighty:
+                shape_id, family_id, fill_id = (
+                    cls_id // 10, (cls_id % 10) // 2, cls_id % 2)
+            else:
+                shape_id, family_id, fill_id = cls_id, -1, 0
+            cls = SHAPE_CLASSES[shape_id]
             s = _sample_half_extent(rng, size)  # half-extent in px
             margin = 1.35 * s + 2
             cx = float(rng.uniform(margin, size - margin))
@@ -251,15 +355,24 @@ def generate_image(
                 bb = np.asarray([cx - half, cy - half, 2 * half, 2 * half],
                                 np.float32)
             if all(_iou_xywh(bb, b) <= max_overlap for b in boxes):
-                color = _PALETTE[int(rng.integers(0, len(_PALETTE)))]
-                color = np.clip(color + rng.normal(0, 12, 3), 0, 255)
+                if eighty:
+                    color = _sample_family_color(rng, family_id)
+                    stripe_theta = float(rng.uniform(0, np.pi))
+                else:
+                    color = _PALETTE[int(rng.integers(0, len(_PALETTE)))]
+                    color = np.clip(color + rng.normal(0, 12, 3), 0, 255)
+                    stripe_theta = 0.0
                 bbox = _draw_shape(img, cls, cx, cy, s, theta, aspect,
                                    tuple(color))
-                if with_dense:
+                stamp = None
+                if with_dense or fill_id == 1:
                     # Exact instance mask: re-draw on an id canvas (AA-free
                     # boundary differences are below label tolerance).
                     stamp = np.zeros((size, size), np.uint8)
                     _draw_shape(stamp, cls, cx, cy, s, theta, aspect, (1,))
+                if fill_id == 1:
+                    _apply_stripes(img, stamp, cx, cy, s, stripe_theta)
+                if with_dense:
                     covered = stamp > 0
                     seg[covered] = cls_id + 1
                     # Pinhole distance: bigger drawn size = closer.
@@ -293,6 +406,7 @@ def _write_split(
     seed: int,
     jpeg_quality: int = 92,
     with_dense: bool = False,
+    num_classes: int = 8,
 ) -> str:
     import cv2
 
@@ -311,10 +425,12 @@ def _write_split(
         rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
         if with_dense:
             img, boxes, labels, seg, depth = generate_image(
-                rng, size=size, with_dense=True
+                rng, size=size, with_dense=True, num_classes=num_classes
             )
         else:
-            img, boxes, labels = generate_image(rng, size=size)
+            img, boxes, labels = generate_image(
+                rng, size=size, num_classes=num_classes
+            )
         fname = f"{split}_{i:06d}.jpg"
         cv2.imwrite(
             os.path.join(img_dir, fname),
@@ -357,7 +473,7 @@ def _write_split(
             "annotations": annotations,
             "categories": [
                 {"id": i + 1, "name": name, "supercategory": "shape"}
-                for i, name in enumerate(SHAPE_CLASSES)
+                for i, name in enumerate(class_names_for(num_classes))
             ],
         }, f)
     return ann_path
@@ -370,16 +486,18 @@ def generate_dataset(
     size: int = 416,
     seed: int = 0,
     with_dense: bool = False,
+    num_classes: int = 8,
 ) -> Dict[str, str]:
     """Generate the full benchmark; returns {split: annotation_path}.
 
     ``with_dense=True`` also writes per-pixel class masks (masks/<split>/*.png,
     uint8 class-id+1) and depth maps (depth/<split>/*.png, uint16 mm) for the
-    segmentation/depth heads."""
+    segmentation/depth heads. ``num_classes=80`` selects the reference-scale
+    shape x color-family x fill taxonomy (:data:`SHAPE80_CLASSES`)."""
     return {
         "train": _write_split(root, "train", num_train, size, seed,
-                              with_dense=with_dense),
+                              with_dense=with_dense, num_classes=num_classes),
         # Disjoint stream for val (never reuses a train image).
         "val": _write_split(root, "val", num_val, size, seed + 1_000_003,
-                            with_dense=with_dense),
+                            with_dense=with_dense, num_classes=num_classes),
     }

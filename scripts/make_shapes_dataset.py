@@ -26,6 +26,9 @@ def main():
     p.add_argument("--val", type=int, default=500)
     p.add_argument("--size", type=int, default=416)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-classes", type=int, default=8, choices=(8, 80),
+                   help="taxonomy: 8 geometry classes, or the 80-class "
+                        "shape x color-family x fill grid (reference scale)")
     args = p.parse_args()
 
     from hvs_tpu.data.shapes import generate_dataset
@@ -33,10 +36,10 @@ def main():
     t0 = time.time()
     paths = generate_dataset(
         args.root, num_train=args.train, num_val=args.val, size=args.size,
-        seed=args.seed,
+        seed=args.seed, num_classes=args.num_classes,
     )
     print(f"generated {args.train}+{args.val} images at {args.size}^2 "
-          f"in {time.time() - t0:.1f}s")
+          f"({args.num_classes} classes) in {time.time() - t0:.1f}s")
     for split, path in paths.items():
         print(f"  {split}: {path}")
 

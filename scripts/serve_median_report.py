@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Median-grade serving SLA report: aggregate interleaved serve_bench reps.
+
+Round-4's SLA numbers were best-run under an admitted 2-4x rep-to-rep tunnel
+spread (EVIDENCE.md r4, ab3 artifacts). This tool makes the MEDIAN the claim
+(VERDICT r4 task 3): given >=N interleaved repetitions of each serving
+config (produced by scripts/r5_serve_medians.sh), it reports per-metric
+median + IQR + min/max across reps and evaluates the SLA targets against the
+median, not the best run.
+
+Reference SLA anchor: src/tests/test_inference.py:127-154 (mean < 50 ms,
+p95 < 100 ms on local-GPU hardware; this deployment adds a measured ~30-50 ms
+tunnel RTT floor on every request, so targets are expressed as multiples of
+the same-session measured floor).
+
+Usage:
+    python scripts/serve_median_report.py \
+        --config rated8=artifacts/r5_serve/rated8_rep*.json \
+        --config rated12=artifacts/r5_serve/rated12_rep*.json \
+        --config overload=artifacts/r5_serve/overload_rep*.json \
+        --floor-ms 51.0 --output SERVE_SUSTAINED_r05.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Metrics summarized per config (path into the serve_bench JSON).
+METRICS = (
+    "p50_ms",
+    "p95_ms",
+    "p99_ms",
+    "mean_ms",
+    "sustained_fps_host_inclusive",
+    "shed_or_rejected",
+    "submitted",
+)
+
+
+def summarize(values):
+    arr = np.asarray([v for v in values if v is not None], np.float64)
+    if arr.size == 0:
+        return None
+    q1, med, q3 = (float(np.percentile(arr, q)) for q in (25, 50, 75))
+    return {
+        "median": round(med, 2),
+        "iqr": [round(q1, 2), round(q3, 2)],
+        "min": round(float(arr.min()), 2),
+        "max": round(float(arr.max()), 2),
+        "n_reps": int(arr.size),
+        "values": [round(float(v), 2) for v in arr],
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", action="append", required=True,
+                   help="name=glob of per-rep serve_bench JSONs")
+    p.add_argument("--floor-ms", type=float, default=None,
+                   help="same-session single-request latency floor (tunnel "
+                        "probe); enables the p95-vs-floor multiple rows")
+    p.add_argument("--probe", default=None,
+                   help="tunnel_probe.json — derive the floor from measured "
+                        "components (frame H2D on the degraded link + RTT + "
+                        "result pull, the serve_report.py arithmetic) when "
+                        "--floor-ms is not given")
+    p.add_argument("--frame-shape", default="640x640x3",
+                   help="raw uint8 frame shape for the probe-derived floor")
+    p.add_argument("--merge-into", default=None,
+                   help="also inject the report under the 'median_sla' key "
+                        "of an existing SERVE_SUSTAINED json")
+    p.add_argument("--targets", default="rated8:3.0,rated12:3.5",
+                   help="config:max_p95_over_floor multiples evaluated "
+                        "against the MEDIAN")
+    p.add_argument("--overload-p95-ms", type=float, default=500.0,
+                   help="accepted-p95 target (ms) for configs named "
+                        "'overload*'")
+    p.add_argument("--output", default="SERVE_SUSTAINED_r05.json")
+    args = p.parse_args()
+
+    if args.floor_ms is None and args.probe:
+        probe = json.load(open(args.probe))
+        h, w, c = (int(x) for x in args.frame_shape.split("x"))
+        frame_mb = h * w * c / 1e6
+        args.floor_ms = (
+            frame_mb / probe["h2d_degraded"]["h2d_MBps_median"] * 1e3
+            + probe["rtt"]["trivial_op_block_ms"]
+            + probe["rtt"]["small_result_pull_ms"]
+        )
+
+    targets = {}
+    for part in filter(None, args.targets.split(",")):
+        name, mult = part.split(":")
+        targets[name] = float(mult)
+
+    report = {
+        "protocol": (
+            "interleaved repetitions (config round-robin, first warm run "
+            "discarded); claims are MEDIANS across reps, spread reported as "
+            "IQR/min/max — supersedes r4's best-run numbers"
+        ),
+        "floor_ms": args.floor_ms,
+        "configs": {},
+    }
+    ok_all = True
+    for spec in args.config:
+        name, pattern = spec.split("=", 1)
+        paths = sorted(glob.glob(pattern))
+        if not paths:
+            print(f"WARNING: no artifacts match {pattern}", file=sys.stderr)
+            continue
+        reps = [json.load(open(pth)) for pth in paths]
+        cfg = {
+            "rep_artifacts": paths,
+            "mode": reps[0].get("mode"),
+            "offered_rate_fps": reps[0].get("offered_rate_fps"),
+            "metrics": {},
+        }
+        for m in METRICS:
+            s = summarize([r.get(m) for r in reps])
+            if s is not None:
+                cfg["metrics"][m] = s
+        p95 = cfg["metrics"].get("p95_ms", {}).get("median")
+        if args.floor_ms and p95 is not None:
+            cfg["p95_median_over_floor"] = round(p95 / args.floor_ms, 2)
+        if name in targets and args.floor_ms and p95 is not None:
+            tgt = targets[name]
+            cfg["target"] = f"median accepted p95 <= {tgt}x floor"
+            cfg["target_met"] = bool(p95 <= tgt * args.floor_ms)
+            ok_all &= cfg["target_met"]
+        if name.startswith("overload") and p95 is not None:
+            cfg["target"] = f"median accepted p95 <= {args.overload_p95_ms} ms"
+            cfg["target_met"] = bool(p95 <= args.overload_p95_ms)
+            ok_all &= cfg["target_met"]
+        report["configs"][name] = cfg
+
+    report["all_targets_met_on_median"] = ok_all
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=1)
+    if args.merge_into and os.path.exists(args.merge_into):
+        with open(args.merge_into) as f:
+            base = json.load(f)
+        base["median_sla"] = report
+        with open(args.merge_into, "w") as f:
+            json.dump(base, f, indent=1)
+    print(json.dumps({
+        "output": args.output,
+        "all_targets_met_on_median": ok_all,
+        **{n: {"p95_median": c["metrics"].get("p95_ms", {}).get("median"),
+               "over_floor": c.get("p95_median_over_floor"),
+               "met": c.get("target_met")}
+           for n, c in report["configs"].items()},
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,10 @@ def parse_args():
     p.add_argument("--val-every-chunks", type=int, default=20)
     p.add_argument("--eig-every-chunks", type=int, default=10)
     p.add_argument("--resume", default=None, help="checkpoint name/path to resume")
+    p.add_argument("--num-classes", type=int, default=80,
+                   help="detector taxonomy width; 80 = reference scale "
+                        "(src/data/dataset.py:428-450), must match the "
+                        "dataset under --data-root")
     p.add_argument("--use-rag", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args()
@@ -85,17 +89,17 @@ def main():
           f"at {time.time()-t0:.1f}s", flush=True)
 
     mcfg = ModelConfig()
-    mcfg.detection.num_classes = 8
+    mcfg.detection.num_classes = args.num_classes
     mcfg.rag.enabled = args.use_rag
     if args.use_rag:
         # Seed the KB with the benchmark's own classes (VERDICT r2 item 6).
-        from hvs_tpu.data.shapes import SHAPE_CLASSES
+        from hvs_tpu.data.shapes import class_names_for
 
-        mcfg.rag.class_names = tuple(SHAPE_CLASSES)
+        mcfg.rag.class_names = class_names_for(args.num_classes)
     model = mcfg.build_model(monitor=True)
 
     cfg = TrainerConfig(
-        num_classes=8,
+        num_classes=args.num_classes,
         learning_rate=args.learning_rate,
         warmup_steps=args.warmup_steps,
         total_steps=args.total_steps,

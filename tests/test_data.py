@@ -301,6 +301,99 @@ def test_shapes_benchmark_generator(tmp_path):
         assert 0 <= x and x + w <= 128 + 1e-3 and 0 <= y and y + h <= 128 + 1e-3
 
 
+def test_shapes80_taxonomy_names():
+    """80-class taxonomy (reference scale, src/data/dataset.py:428-450):
+    80 unique names laid out as shape_id*10 + family_id*2 + fill_id."""
+    from hvs_tpu.data import SHAPE_CLASSES, SHAPE80_CLASSES, class_names_for
+    from hvs_tpu.data.shapes import COLOR_FAMILIES, FILL_PATTERNS
+
+    assert len(SHAPE80_CLASSES) == 80
+    assert len(set(SHAPE80_CLASSES)) == 80
+    for cls_id, name in enumerate(SHAPE80_CLASSES):
+        shape_id, family_id, fill_id = cls_id // 10, (cls_id % 10) // 2, cls_id % 2
+        assert name == (f"{SHAPE_CLASSES[shape_id]}_"
+                        f"{COLOR_FAMILIES[family_id][0]}_"
+                        f"{FILL_PATTERNS[fill_id]}")
+    assert class_names_for(8) == SHAPE_CLASSES
+    assert class_names_for(80) == SHAPE80_CLASSES
+    with pytest.raises(ValueError):
+        class_names_for(13)
+
+
+def test_shapes80_family_colors_stay_in_hue_band():
+    """Color families are HUE BANDS: every sampled color's hue must fall
+    inside its family's band (sat/value jitter must not leak across hue)."""
+    import colorsys
+
+    from hvs_tpu.data.shapes import COLOR_FAMILIES, _sample_family_color
+
+    rng = np.random.default_rng(3)
+    for family_id, (_, lo, hi) in enumerate(COLOR_FAMILIES):
+        for _ in range(20):
+            r, g, b = np.asarray(
+                _sample_family_color(rng, family_id)) / 255.0
+            hue = colorsys.rgb_to_hsv(r, g, b)[0] * 360.0
+            # +-2 deg: float32 RGB round-trip shifts hue slightly at edges
+            in_band = (lo - 2 <= hue <= hi + 2) or (lo - 2 <= hue + 360.0 <= hi + 2)
+            assert in_band, (COLOR_FAMILIES[family_id][0], hue)
+
+
+def test_shapes80_stripes_darken_but_preserve_hue():
+    """Striped fill darkens alternating bands multiplicatively (x0.35), so
+    hue — the color-family signal — is identical in both bands, and both
+    bands are actually present (legible pattern)."""
+    from hvs_tpu.data.shapes import _apply_stripes
+
+    img = np.full((64, 64, 3), (200, 120, 40), np.uint8)
+    stamp = np.zeros((64, 64), np.uint8)
+    stamp[8:56, 8:56] = 1
+    _apply_stripes(img, stamp, cx=32.0, cy=32.0, s=24.0, stripe_theta=0.3)
+    inside = img[8:56, 8:56].reshape(-1, 3)
+    dark = inside[:, 0] < 150
+    frac = dark.mean()
+    assert 0.2 < frac < 0.8, frac  # both bands visible
+    assert (inside[~dark] == (200, 120, 40)).all()
+    # multiplicative: per-channel ratio ~0.35 keeps the hue ordering
+    np.testing.assert_allclose(
+        inside[dark].mean(axis=0) / np.array([200, 120, 40]), 0.35, atol=0.02
+    )
+
+
+def test_shapes80_generate_image_valid_and_deterministic():
+    from hvs_tpu.data.shapes import generate_image
+
+    r1 = np.random.default_rng(np.random.SeedSequence([11, 4]))
+    r2 = np.random.default_rng(np.random.SeedSequence([11, 4]))
+    i1, b1, l1 = generate_image(r1, size=128, num_classes=80)
+    i2, b2, l2 = generate_image(r2, size=128, num_classes=80)
+    assert (i1 == i2).all() and (b1 == b2).all() and (l1 == l2).all()
+    assert l1.dtype == np.int32 and (l1 >= 0).all() and (l1 < 80).all()
+    for x, y, w, h in b1:
+        assert w > 2 and h > 2
+        assert 0 <= x and x + w <= 128 + 1e-3 and 0 <= y and y + h <= 128 + 1e-3
+    with pytest.raises(ValueError):
+        generate_image(np.random.default_rng(0), size=64, num_classes=12)
+
+
+def test_shapes80_dataset_categories(tmp_path):
+    """The COCO writer emits all 80 categories and the generator actually
+    uses the width of the taxonomy (>8 distinct classes in a small sample)."""
+    from hvs_tpu.data import generate_shapes_dataset
+
+    paths = generate_shapes_dataset(str(tmp_path), num_train=6, num_val=2,
+                                    size=128, seed=5, num_classes=80)
+    ann = json.loads((tmp_path / "annotations" /
+                      "instances_train.json").read_text())
+    assert len(ann["categories"]) == 80
+    assert len({c["name"] for c in ann["categories"]}) == 80
+    used = {a["category_id"] for a in ann["annotations"]}
+    assert len(used) > 8
+    ds = COCODataset(root=str(tmp_path / "train"),
+                     annotation_file=paths["train"],
+                     image_size=128, max_boxes=8)
+    assert len(ds.class_names) == 80
+
+
 def test_loader_abandoned_iterator_exits_cleanly(synthetic_dataset_dir):
     """Breaking out of a loader loop must not abort the process at exit.
 

@@ -44,6 +44,9 @@ def _alt_variables(engine, seed):
     )
 
 
+# Heavy lane: 2000 hammered infers across a 20-swap sequence (~22 s);
+# default-lane swap coverage stays via test_detect_during_config_rebuild.
+@pytest.mark.heavy
 def test_detect_during_weight_swap(swap_engine):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (72, 96, 3), np.uint8)

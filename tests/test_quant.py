@@ -98,7 +98,10 @@ def tiny_backbone_setup():
     return float_bb, v, imgs
 
 
-@pytest.mark.slow
+# Heavy lane: the int8 chain is a shipped negative (float is the serve
+# default, QUANT_r04.json) — its full-tree parity check (~15 s of unique
+# programs) runs nightly; the per-block int8 tests keep default coverage.
+@pytest.mark.heavy
 def test_param_tree_identical_and_outputs_close(tiny_backbone_setup):
     """The quantized twin must load float checkpoints unchanged and stay close."""
     float_bb, v, imgs = tiny_backbone_setup

@@ -45,8 +45,13 @@ def ema_trainer(tmp_path_factory):
     return t
 
 
+@pytest.mark.heavy
 def test_ema_checkpoint_roundtrip(ema_trainer):
-    """ema_params must survive save -> load, not just params."""
+    """ema_params must survive save -> load, not just params.
+
+    Heavy lane: orbax save/restore + post-restore retrace costs ~30 s of
+    unique XLA CPU programs; default-lane EMA coverage stays via
+    test_ema_used_for_eval, checkpoint coverage via test_step_checkpointing."""
     t = ema_trainer
     ema_before = jax.tree_util.tree_leaves(t.state.ema_params)[0].copy()
     path = t.save_checkpoint("ema_test")
