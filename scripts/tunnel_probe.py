@@ -86,11 +86,15 @@ def phase_h2d(degrade_first: bool) -> dict:
         np.asarray(jax.device_put(jnp.ones((4,))))  # any pull flips the link
     rng = np.random.default_rng(0)
     # Incompressible payload the size of a raw-frame micro-batch
-    # (16 x 480x640x3 uint8 = 14.7 MB).
-    host = rng.integers(0, 255, (16, 480, 640, 3), np.uint8)
+    # (16 x 480x640x3 uint8 = 14.7 MB). On the degraded link (35-51 MB/s
+    # normally, far worse in bad tunnel weather — an r5 run blew a 600 s
+    # phase budget) a smaller 2-frame payload keeps the phase bounded while
+    # still measuring MB/s.
+    frames = 2 if degrade_first else 16
+    host = rng.integers(0, 255, (frames, 480, 640, 3), np.uint8)
     sizes = []
     jax.block_until_ready(jax.device_put(host))  # warm path/allocs
-    for _ in range(5):
+    for _ in range(3 if degrade_first else 5):
         t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(host))
         sizes.append(host.nbytes / (time.perf_counter() - t0))
@@ -175,16 +179,28 @@ def main() -> int:
     # also the single TPU chip only admits one process at a time).
     merged: dict = {"measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     for name in ["host", "rtt", "h2d_fresh", "h2d_degraded", "d2h"]:
-        t0 = time.time()
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", name],
-            capture_output=True, text=True, timeout=600,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if out.returncode != 0 or not line:
+        line = []
+        for attempt in (1, 2):  # retry once: tunnel weather is transient
+            t0 = time.time()
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--phase", name],
+                    capture_output=True, text=True, timeout=600,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
+            except subprocess.TimeoutExpired:
+                print(f"phase {name} attempt {attempt} timed out", file=sys.stderr)
+                continue
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode == 0 and line:
+                break
             print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
-            raise RuntimeError(f"phase {name} failed")
+        if not line:
+            # Record the failure but keep probing: a partial probe (e.g. no
+            # degraded-link number in a bad-weather window) still anchors
+            # the report; consumers fall back to explicit --floor-ms.
+            merged[name] = {"error": "phase failed/timed out twice"}
+            continue
         merged.update(json.loads(line[-1]))
         print(f"{name}: {json.dumps(merged[name])} ({time.time()-t0:.0f}s)",
               flush=True)
