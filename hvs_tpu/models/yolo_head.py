@@ -139,12 +139,16 @@ class YOLOPredictionHead(nn.Module):
             )(y, deterministic)
         per_anchor = 5 + self.num_classes
 
-        # Objectness bias -4.0 so early training predicts background
-        # (reference: src/models/yolo_head.py objectness bias init).
+        # Objectness AND class biases -4.0 so early training predicts
+        # background / the class prior (reference: src/models/yolo_head.py
+        # objectness bias init; class prior init is the RetinaNet recipe).
+        # Without the class part, the 80-way BCE starts at ~55/positive with
+        # a ~1300 gradient norm, which poisons Adam's second moment for the
+        # first ~1/(1-b2) steps and stalls classification learning.
         def bias_init(key, shape, dtype=jnp.float32):
-            b = jnp.zeros(shape, dtype)
+            b = jnp.full(shape, -4.0, dtype)
             b = b.reshape(self.num_anchors, per_anchor)
-            b = b.at[:, 4].set(-4.0)
+            b = b.at[:, :4].set(0.0)
             return b.reshape(shape)
 
         out = nn.Conv(

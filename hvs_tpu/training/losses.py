@@ -182,13 +182,21 @@ def mhc_yolo_loss(
 
         # --- Objectness: focal BCE, noobj cells down-weighted; cells whose
         # prediction overlaps a gt well are ignored (standard YOLO ignore rule).
+        # RetinaNet normalization (divide the summed focal loss by the positive
+        # count, not the cell count): dividing by B*H*W*A diluted the positive
+        # objectness signal ~5 orders of magnitude at 640^2 (201k cells vs ~60
+        # positives), which the 8-class runs masked but the 80-class run
+        # exposed — 50k steps left obj_loss pinned at 2e-3 and the serve model
+        # scoring every cell at the sigmoid floor. Focal's (1-p_t)^2 keeps the
+        # 200k-cell negative sum bounded (~1.0 at the -4.0 bias init), so the
+        # per-positive scale matches the box and class terms.
         obj_logit = raw[..., 4]
         obj_loss_map = focal_bce(obj_logit, obj_mask)
         noobj_mask = (1.0 - obj_mask) * jnp.where(ciou > ignore_iou, 0.0, 1.0)
         obj_loss = (
             weights.obj * jnp.sum(obj_loss_map * obj_mask)
             + weights.noobj * jnp.sum(obj_loss_map * noobj_mask)
-        ) / (bsz * h * w * a)
+        ) / jnp.maximum(n_pos, 1.0)
 
         # --- Class loss at positive cells.
         onehot = jax.nn.one_hot(t["cls"], num_classes)
