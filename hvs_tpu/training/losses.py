@@ -142,6 +142,8 @@ def mhc_yolo_loss(
     weights: LossWeights = LossWeights(),
     label_smoothing: float = 0.05,
     ignore_iou: float = 0.5,
+    cls_mode: str = "bce",
+    cls_pos_weight: float = 1.0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Full YOLO loss over all scales (reference: MHCYOLOLoss,
     src/training/loss_functions.py:67-307). Everything masked, no gathers with
@@ -150,6 +152,19 @@ def mhc_yolo_loss(
     Args:
         raw_outputs: per-scale raw head outputs [B, H, W, A, 5+C] (bf16 ok).
         targets: from :func:`build_targets`.
+        cls_mode: ``"bce"`` = the reference's independent per-class logistic
+            loss (multi-label COCO convention, loss_functions.py:192-204);
+            ``"softmax"`` = smoothed softmax cross-entropy. At 80 classes the
+            plain BCE gradient is too sparse to converge in a 50k-step
+            schedule: each class column of the predict conv sees ~1 positive
+            per step against 79 per-positive negative pushes, and the r5b run
+            left class argmax accuracy at 0.000 after 50k steps (probe in
+            ACCURACY_r05 commit). Both alternatives below fix the within-cell
+            1:(C-1) imbalance.
+        cls_pos_weight: in ``bce`` mode, multiplies the true-class (target=1)
+            term — ``num_classes - 1`` makes the positive pull balance the
+            summed negative pushes per cell (BCEWithLogits pos_weight
+            convention). 1.0 = reference behavior.
     """
     total_box = 0.0
     total_obj = 0.0
@@ -200,8 +215,20 @@ def mhc_yolo_loss(
 
         # --- Class loss at positive cells.
         onehot = jax.nn.one_hot(t["cls"], num_classes)
-        cls_loss_map = bce_with_smoothing(raw[..., 5:], onehot, label_smoothing)
-        cls_loss = jnp.sum(jnp.sum(cls_loss_map, -1) * obj_mask) / jnp.maximum(n_pos, 1.0)
+        if cls_mode == "softmax":
+            tgt = onehot * (1.0 - label_smoothing) + label_smoothing / num_classes
+            logp = jax.nn.log_softmax(raw[..., 5:], axis=-1)
+            ce = -jnp.sum(tgt * logp, axis=-1)
+            cls_loss = jnp.sum(ce * obj_mask) / jnp.maximum(n_pos, 1.0)
+        else:
+            cls_loss_map = bce_with_smoothing(raw[..., 5:], onehot, label_smoothing)
+            if cls_pos_weight != 1.0:
+                cls_loss_map = cls_loss_map * (
+                    1.0 + (cls_pos_weight - 1.0) * onehot
+                )
+            cls_loss = jnp.sum(
+                jnp.sum(cls_loss_map, -1) * obj_mask
+            ) / jnp.maximum(n_pos, 1.0)
 
         total_box = total_box + box_loss
         total_obj = total_obj + obj_loss

@@ -80,6 +80,12 @@ class TrainerConfig:
     checkpoint_dir: str = "checkpoints"
     max_boxes: int = 64
     ema_decay: float = 0.0  # 0 disables EMA
+    # Class-loss mode (see losses.mhc_yolo_loss): "bce" = the reference's
+    # multi-label logistic loss; "softmax" = smoothed softmax CE for
+    # single-label taxonomies. cls_pos_weight balances the 1:(C-1)
+    # within-cell imbalance in bce mode (num_classes-1 = balanced).
+    cls_mode: str = "bce"
+    cls_pos_weight: float = 1.0
     backbone_lr_factor: float = 1.0
     # Adaptive LR controllers (reference: scheduler.py:137-449). Both emit a
     # multiplicative lr_scale consumed by the train state as data.
@@ -146,7 +152,8 @@ def make_train_step(
                 mutable=["stability"],
             )
             det_loss, det_metrics = mhc_yolo_loss(
-                outputs["detection"]["raw"], targets, config.num_classes
+                outputs["detection"]["raw"], targets, config.num_classes,
+                cls_mode=config.cls_mode, cls_pos_weight=config.cls_pos_weight,
             )
             reg_loss, reg_metrics = manifold_regularization_loss(
                 params, sk_iters=config.sk_iters
@@ -265,7 +272,8 @@ def make_eval_step(model, config: TrainerConfig) -> Callable:
         )
         outputs = model.apply({"params": params}, images, task="detection")
         loss, metrics = mhc_yolo_loss(
-            outputs["detection"]["raw"], targets, config.num_classes
+            outputs["detection"]["raw"], targets, config.num_classes,
+            cls_mode=config.cls_mode, cls_pos_weight=config.cls_pos_weight,
         )
         return {"val_loss": loss, **{f"val_{k}": v for k, v in metrics.items()}}
 
@@ -338,6 +346,7 @@ class ManifoldConstrainedTrainer:
             config.total_steps, config.weight_decay, config.mhc_lr_factor,
             config.clip_regular, config.clip_mhc, config.project_every,
             config.backbone_lr_factor, config.max_boxes,
+            config.cls_mode, config.cls_pos_weight,
         )
         cached = _COMPILED_STEP_CACHE.get(key)
         if cached is None:

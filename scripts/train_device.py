@@ -49,6 +49,15 @@ def parse_args():
     p.add_argument("--val-every-chunks", type=int, default=20)
     p.add_argument("--eig-every-chunks", type=int, default=10)
     p.add_argument("--resume", default=None, help="checkpoint name/path to resume")
+    p.add_argument("--cls-loss", default="bce",
+                   choices=["bce", "softmax"],
+                   help="class-loss mode (losses.mhc_yolo_loss): bce = the "
+                        "reference's multi-label logistic loss; softmax = "
+                        "smoothed CE for single-label taxonomies")
+    p.add_argument("--cls-pos-weight", type=float, default=1.0,
+                   help="bce mode: weight on the true-class term; "
+                        "num_classes-1 balances the 1:(C-1) within-cell "
+                        "imbalance that stalls 80-way convergence")
     p.add_argument("--num-classes", type=int, default=80,
                    help="detector taxonomy width; 80 = reference scale "
                         "(src/data/dataset.py:428-450), must match the "
@@ -105,6 +114,8 @@ def main():
         total_steps=args.total_steps,
         ema_decay=args.ema_decay,
         max_boxes=args.max_boxes,
+        cls_mode=args.cls_loss,
+        cls_pos_weight=args.cls_pos_weight,
         checkpoint_dir=os.path.join(args.run_dir, "checkpoints"),
         checkpoint_every_steps=args.checkpoint_every_steps,
         metrics_log=os.path.join(args.run_dir, "steps.jsonl"),
