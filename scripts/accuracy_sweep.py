@@ -129,13 +129,28 @@ def main():
         sweep[str(r)] = evaluate_at(r, args)
 
     headline = sweep.get("640") or sweep[str(resolutions[-1])]
+    with open(os.path.join(args.data_root, "annotations",
+                           f"instances_{args.split}.json")) as f:
+        n_classes = len(json.load(f).get("categories", []))
+    trained_steps = args.trained_steps
+    if trained_steps is None:
+        # checkpoint lives at <run_dir>/checkpoints/<name>; the run's
+        # chunks.jsonl last row records the true step count.
+        chunks = os.path.join(
+            os.path.dirname(os.path.dirname(args.checkpoint.rstrip("/"))),
+            "chunks.jsonl")
+        if os.path.exists(chunks):
+            with open(chunks) as f:
+                rows = f.readlines()
+            if rows:
+                trained_steps = json.loads(rows[-1]).get("step")
     report = {
-        "benchmark": "hardened synthetic shapes detection (COCO-format, "
-                     "8 classes, 640-native, 30% small objects 10-32px, "
-                     "2-12 instances/img, overlap<=0.4 IoU; "
-                     "scripts/make_shapes_dataset.py --size 640 seed=0)",
+        "benchmark": f"hardened synthetic shapes detection (COCO-format, "
+                     f"{n_classes} classes, 640-native, 30% small objects "
+                     f"10-32px, 2-12 instances/img, overlap<=0.4 IoU; "
+                     f"scripts/make_shapes_dataset.py --size 640 seed=0)",
         "checkpoint": args.checkpoint,
-        "trained_steps": args.trained_steps,
+        "trained_steps": trained_steps,
         "headline": {
             "resolution": 640,
             "mAP@0.5": headline.get("mAP@0.5"),

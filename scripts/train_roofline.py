@@ -118,9 +118,14 @@ def main() -> int:
         rng = jax.random.PRNGKey(1)
         aug_fn = jax.jit(functools.partial(
             sample_batch, batch_size=b, out_size=s0, aug=AugmentConfig()))
-        batch = jax.device_get(aug_fn(data, rng))
         if trainer.state is None:
-            trainer.init_state(batch)
+            trainer.init_state(jax.device_get(aug_fn(data, rng)))
+        # Keep the timed batch DEVICE-resident: handing host numpy to a jitted
+        # fn re-transfers it every iteration over the tunnel (~35 MB/s once
+        # any result pull has happened in the process), which bloated the
+        # "forward" number to ~580 ms of pure H2D in the first r5 capture.
+        batch = jax.device_put(jax.device_get(aug_fn(data, rng)))
+        jax.block_until_ready(batch["images"])
 
         # Stage programs (each includes its predecessors; deltas attribute).
         def fwd_loss(params, batch, rng):
@@ -186,16 +191,23 @@ def main() -> int:
         report["resolutions"][str(s0)] = row
         print(s0, json.dumps(row), flush=True)
 
-    # Chunk-level steps/s: the scan the real run uses (host dispatch tax).
-    s0 = sizes[0]
-    b = batch_for.get(s0, 8)
-    t0 = time.time()
-    trainer.train_chunked(
-        data, total_steps=100, out_sizes=(s0,), batch_sizes={s0: b},
-        chunk_steps=50, aug=AugmentConfig(),
-    )
-    chunk_sps = 100 / (time.time() - t0)
-    report["chunked_steps_per_sec_incl_compile"] = round(chunk_sps, 2)
+    # Chunk-level steps/s: the scan the real run uses. One warm chunk first
+    # (compile + first dispatch), then timed chunks — this is the number the
+    # 50k-step evidence runs actually see.
+    report["chunked_steps_per_sec"] = {}
+    for s0 in sizes:
+        b = batch_for.get(s0, 8)
+        trainer.train_chunked(
+            data, total_steps=50, out_sizes=(s0,), batch_sizes={s0: b},
+            chunk_steps=50, aug=AugmentConfig(),
+        )
+        t0 = time.time()
+        trainer.train_chunked(
+            data, total_steps=200, out_sizes=(s0,), batch_sizes={s0: b},
+            chunk_steps=50, aug=AugmentConfig(),
+        )
+        report["chunked_steps_per_sec"][str(s0)] = round(
+            200 / (time.time() - t0), 2)
 
     with open(args.output, "w") as f:
         json.dump(report, f, indent=1)
