@@ -73,7 +73,7 @@ class TestManifoldHyperConnection:
         def loss(params):
             return jnp.mean(layer.apply({"params": params}, x).astype(jnp.float32) ** 2)
 
-        g = jax.grad(loss)(v["params"])
+        g = jax.jit(jax.grad(loss))(v["params"])
         norms = [float(jnp.linalg.norm(t)) for t in jax.tree_util.tree_leaves(g)]
         total = float(np.sqrt(sum(n**2 for n in norms)))
         assert 0 < total < 100, total  # reference asserts 0 < ||g|| < 100
@@ -187,8 +187,8 @@ def _tiny_scales(key):
 def test_fpn_shapes(key):
     fpn = FeaturePyramidNetwork(fpn_channels=16, out_channels=(16, 24, 32), sk_iters=5)
     feats = _tiny_scales(key)
-    v = fpn.init(key, feats)
-    out = fpn.apply(v, feats)
+    v = jax.jit(fpn.init)(key, feats)
+    out = jax.jit(fpn.apply)(v, feats)
     assert out["fused_small"].shape == (2, 8, 8, 16)
     assert out["fused_medium"].shape == (2, 4, 4, 24)
     assert out["fused_large"].shape == (2, 2, 2, 32)
@@ -241,13 +241,15 @@ def test_yolo_head_and_postprocess(key):
         "fused_medium": jax.random.normal(key, (2, 4, 4, 24)),
         "fused_large": jax.random.normal(key, (2, 2, 2, 32)),
     }
-    v = head.init(key, feats)
-    out = head.apply(v, feats)
+    import functools
+    v = jax.jit(head.init)(key, feats)
+    out = jax.jit(head.apply)(v, feats)
     n = (8 * 8 + 4 * 4 + 2 * 2) * 3
     assert out["boxes"].shape == (2, n, 4)
     assert out["scores"].shape == (2, n, 4)
-    det = postprocess_detections(out, score_threshold=0.01, max_detections=16,
-                                 pre_nms_top_k=64)
+    det = jax.jit(functools.partial(
+        postprocess_detections, score_threshold=0.01, max_detections=16,
+        pre_nms_top_k=64))(out)
     assert det.boxes.shape == (2, 16, 4)
     assert det.scores.shape == (2, 16)
 
@@ -444,10 +446,15 @@ def test_precomputed_constraints_parity():
     v = jax.jit(functools.partial(train_model.init, task="detection"))(
         jax.random.PRNGKey(0), x
     )
-    out_train = train_model.apply(v, x, task="detection")["detection"]["boxes"]
-    constraints = compute_constraints(v["params"], sk_iters=TINY_MODEL["sk_iters"])
-    out_serve = serve_model.apply(
-        {"params": v["params"], "constraints": constraints}, x, task="detection"
+    # jit both applies: eager full-model dispatch costs ~10 s each on this
+    # 1-core host; the fp32 variants are unique programs but compile fast at
+    # the test lane's opt level 0.
+    out_train = jax.jit(functools.partial(train_model.apply, task="detection"))(
+        v, x)["detection"]["boxes"]
+    constraints = jax.jit(functools.partial(
+        compute_constraints, sk_iters=TINY_MODEL["sk_iters"]))(v["params"])
+    out_serve = jax.jit(functools.partial(serve_model.apply, task="detection"))(
+        {"params": v["params"], "constraints": constraints}, x
     )["detection"]["boxes"]
     np.testing.assert_allclose(
         np.asarray(out_train), np.asarray(out_serve), atol=2e-4, rtol=1e-3

@@ -11,7 +11,10 @@ boxes the decoder misreads). Reference chain: loss target prep
 (src/models/yolo_head.py:206-294).
 """
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -54,8 +57,11 @@ def test_targets_invert_through_decoder_to_map_1(seed):
         boxes[bi, :n] = np.stack([cx, cy, w, h], 1)
         mask[bi, :n] = 1.0
 
-    targets = build_targets(
-        jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask), grids, num_classes
+    # jit the jnp-heavy stages: the three seeds share compiled programs
+    # (same shapes), cutting ~8 s of eager dispatch per seed on this host.
+    targets = jax.jit(functools.partial(
+        build_targets, grid_sizes=grids, num_classes=num_classes))(
+        jnp.asarray(boxes), jnp.asarray(labels), jnp.asarray(mask)
     )
 
     # Invert the decode equations at every positive cell.
@@ -80,7 +86,7 @@ def test_targets_invert_through_decoder_to_map_1(seed):
             raw[bi, gy, gx, ai, 5 + t_cls[bi, gy, gx, ai]] = 12.0
 
         grid = jnp.asarray(make_anchor_grid(gh, gw, COCO_ANCHORS_416[s]))
-        dec = decode_predictions(jnp.asarray(raw), grid)
+        dec = jax.jit(decode_predictions)(jnp.asarray(raw), grid)
         outputs[key] = dec
 
     # Merge scales the way the head does: flatten and concat.
@@ -95,7 +101,8 @@ def test_targets_invert_through_decoder_to_map_1(seed):
             [outputs[k]["class_indices"].reshape(b, -1) for k in SCALE_ORDER], axis=1
         ),
     }
-    det = postprocess_detections(merged, score_threshold=0.5, max_detections=32)
+    det = jax.jit(functools.partial(
+        postprocess_detections, score_threshold=0.5, max_detections=32))(merged)
 
     ev = DetectionEvaluator(num_classes=num_classes)
     for bi in range(b):

@@ -132,18 +132,16 @@ def test_cls_loss_modes_reward_the_true_class():
         return {k: v.at[..., 5 + cls_idx].set(value) for k, v in raw.items()}
 
     for mode, pw in [("bce", 79.0), ("softmax", 1.0)]:
-        right, _ = mhc_yolo_loss(
-            set_cls(raw_prior, 7, 4.0), targets, C, cls_mode=mode,
-            cls_pos_weight=pw)
-        wrong, _ = mhc_yolo_loss(
-            set_cls(raw_prior, 3, 4.0), targets, C, cls_mode=mode,
-            cls_pos_weight=pw)
+        # jit both programs: eager per-op dispatch of the full loss (×3
+        # evaluations ×2 modes) costs ~40 s on this 1-core host; two tiny
+        # compiles per mode cost a few seconds.
+        loss_fn = jax.jit(lambda r, mode=mode, pw=pw: mhc_yolo_loss(
+            r, targets, C, cls_mode=mode, cls_pos_weight=pw)[0])
+        right = loss_fn(set_cls(raw_prior, 7, 4.0))
+        wrong = loss_fn(set_cls(raw_prior, 3, 4.0))
         assert float(right) < float(wrong), (mode, float(right), float(wrong))
 
-        g = jax.grad(
-            lambda r: mhc_yolo_loss(
-                r, targets, C, cls_mode=mode, cls_pos_weight=pw)[0]
-        )(raw_prior)
+        g = jax.jit(jax.grad(loss_fn))(raw_prior)
         # gradient share of the true-class logit among all class logits
         cls_g = jnp.concatenate(
             [jnp.abs(v[..., 5:]).reshape(-1, C).sum(0, keepdims=True)

@@ -89,12 +89,16 @@ def test_plateau_scheduler_changes_effective_lr(ema_trainer):
     t = ema_trainer
     before = float(t.state.lr_scale)
     t.validate = lambda loader, **kw: {"val_loss": 1.0}
+    # Stub the incidental best-checkpoint save too: a real orbax save costs
+    # ~10 s here and checkpoint coverage lives in test_step_checkpointing.
+    t.save_checkpoint = lambda name: ""
     try:
         loader = lambda: iter([synthetic_batch(seed=100)])
         # epoch 1: best=1.0; epoch 2: no improvement -> bad_epochs=1 > 0
         t.train(loader, val_loader_fn=loader, epochs=2)
     finally:
         del t.validate  # restore the class method for later tests
+        del t.save_checkpoint
     after = float(t.state.lr_scale)
     assert after < before, (before, after)
     assert t.plateau.num_reductions >= 1
