@@ -149,7 +149,10 @@ class VisionAPIServer:
 
     # ---------------- image extraction (reference :582-614) ----------------
     async def _get_image(self, request) -> Optional[np.ndarray]:
-        import cv2
+        # decode_jpeg picks a DCT-domain reduced decode when the source is
+        # >=2x the letterbox target (hvs_tpu/inference/preprocessing.py) —
+        # same pixels after letterbox, less host time on this 1-core VM.
+        from ..inference.preprocessing import decode_jpeg
 
         ctype = request.headers.get("Content-Type", "")
         if "multipart" in ctype:
@@ -157,23 +160,20 @@ class VisionAPIServer:
             async for part in reader:
                 if part.name in ("file", "image"):
                     data = await part.read()
-                    arr = np.frombuffer(data, np.uint8)
-                    return cv2.imdecode(arr, cv2.IMREAD_COLOR)
+                    return decode_jpeg(data, self.engine.image_size)
             return None
         body = await request.json()
         req = DetectRequestModel(**body)
         if req.image_base64:
             data = base64.b64decode(req.image_base64)
-            arr = np.frombuffer(data, np.uint8)
-            return cv2.imdecode(arr, cv2.IMREAD_COLOR)
+            return decode_jpeg(data, self.engine.image_size)
         if req.image_url:
             import aiohttp
 
             async with aiohttp.ClientSession() as session:
                 async with session.get(req.image_url) as resp:
                     data = await resp.read()
-            arr = np.frombuffer(data, np.uint8)
-            return cv2.imdecode(arr, cv2.IMREAD_COLOR)
+            return decode_jpeg(data, self.engine.image_size)
         return None
 
     def _detect_sync(self, image: np.ndarray):

@@ -35,6 +35,79 @@ class PreprocessMode(str, enum.Enum):
     ACCURATE = "accurate"  # bilinear letterbox
 
 
+def jpeg_dimensions(blob: bytes) -> Optional[Tuple[int, int]]:
+    """(height, width) from a JPEG's SOF header without decoding the image.
+
+    Walks the marker stream to the first start-of-frame segment (SOF0-SOF15,
+    excluding DHT/JPG/DAC which share the 0xC0 nibble but carry no geometry).
+    Costs a few microseconds vs milliseconds for a full decode; used to pick
+    a DCT-domain reduced-decode factor before calling cv2. Returns None for
+    anything that is not a parseable JPEG (caller falls back to full decode).
+    """
+    if len(blob) < 4 or blob[0] != 0xFF or blob[1] != 0xD8:
+        return None
+    i = 2
+    n = len(blob)
+    while i + 9 < n:
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        marker = blob[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload
+            i += 2
+            continue
+        seg_len = (blob[i + 2] << 8) | blob[i + 3]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len >= 7:
+                h = (blob[i + 5] << 8) | blob[i + 6]
+                w = (blob[i + 7] << 8) | blob[i + 8]
+                return (h, w)
+            return None
+        if marker == 0xDA:  # start of scan: SOF must precede it
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def decode_jpeg(blob: bytes, target_size: Optional[int] = None) -> Optional[np.ndarray]:
+    """Decode JPEG bytes to BGR uint8, using DCT-domain reduced decode when safe.
+
+    When ``target_size`` is given and the frame's short side is at least
+    2x/4x/8x the target (read from the SOF header, no decode), decodes with
+    cv2.IMREAD_REDUCED_COLOR_{2,4,8}: libjpeg applies the scale during the
+    IDCT, so the result is an exact area-downscale of the full decode — the
+    letterbox was going to discard that resolution anyway. Guard is >= so the
+    reduced frame never lands below the letterbox target (no upscaling ever).
+
+    Measured on this 1-core host (artifacts/HOST_DECODE_r05.json): entropy
+    decode dominates, so the saving is a modest 10-25% of decode time at
+    720p/1080p sources — adopted because it is free (bit-identical letterbox
+    input geometry class, no quality change for targets <= source/2) and
+    compounds with the smaller letterbox. Non-JPEG bytes (PNG etc.) fall
+    back to a plain cv2.imdecode. Returns None for undecodable input.
+    """
+    import cv2
+
+    arr = np.frombuffer(blob, np.uint8)
+    flag = cv2.IMREAD_COLOR
+    if target_size is not None and target_size > 0:
+        dims = jpeg_dimensions(blob)
+        if dims is not None:
+            short = min(dims)
+            for k, f in (
+                (8, cv2.IMREAD_REDUCED_COLOR_8),
+                (4, cv2.IMREAD_REDUCED_COLOR_4),
+                (2, cv2.IMREAD_REDUCED_COLOR_2),
+            ):
+                if short >= k * target_size:
+                    flag = f
+                    break
+    return cv2.imdecode(arr, flag)
+
+
 @dataclass
 class PreprocessResult:
     image: np.ndarray  # [S, S, 3] uint8 letterboxed RGB
